@@ -1,0 +1,55 @@
+"""Pallas flash attention vs naive XLA attention: fwd + grads, with the ragged
+sequence lengths the framework actually uses (433, 1729 are not tile
+multiples). Runs in interpret mode on CPU; real-TPU validation in bench/verify."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.kernels.flash_attention import _xla_attention
+from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
+
+
+def _make_qkv(key, b, h, n, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, n, d), dtype)
+    k = jax.random.normal(kk, (b, h, n, d), dtype)
+    v = jax.random.normal(kv, (b, h, n, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("n,d", [(128, 64), (433, 64), (200, 32)])
+def test_flash_forward_matches_xla(n, d):
+    q, k, v = _make_qkv(jax.random.PRNGKey(0), 2, 3, n, d)
+    scale = d**-0.5
+    want = _xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match_xla():
+    n, d = 257, 32  # ragged on purpose
+    q, k, v = _make_qkv(jax.random.PRNGKey(1), 1, 2, n, d)
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale, 128, 128, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
+        )
+
+
+def test_flash_default_scale_is_rsqrt_head_dim():
+    q, k, v = _make_qkv(jax.random.PRNGKey(2), 1, 1, 64, 16)
+    got = flash_attention(q, k, v, None, 64, 64, True)
+    want = _xla_attention(q, k, v, 16**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

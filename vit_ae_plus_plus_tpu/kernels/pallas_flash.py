@@ -1,0 +1,272 @@
+"""Blockwise flash attention for TPU, written in Pallas.
+
+Non-causal, no attention mask (the MAE drops masked tokens from the sequence
+rather than masking scores — reference model/vit_autoenc.py:157-177), which is
+exactly the shape of every attention in this framework:
+
+- masked encoder: N = 433 (1 cls + 432 kept tokens), head_dim 64
+- MAE decoder:    N = 1729, head_dim 32
+- feature ViT:    N = 1729, head_dim 64
+
+Design (FlashAttention-2):
+- forward: grid (B, H, Nq/BQ); K and V live whole in VMEM per (b, h) —
+  at N<=8192, head_dim<=64 that is <= 4 MB and saves DMA bookkeeping; the
+  kernel streams K/V block-by-block out of VMEM with an online-softmax
+  running (max, sum) pair, so the (N, N) score matrix never exists in HBM.
+- backward: one kernel for dQ (grid over Q blocks, loop over K blocks) and
+  one for dK/dV (grid over K blocks, loop over Q blocks), using the saved
+  row logsumexp L and the precomputed D = rowsum(dO * O).
+
+Sequence lengths are padded to the block size with key masking (-inf scores
+for padded keys); padded query rows are sliced off on return.
+
+All matmuls accumulate in f32 (`preferred_element_type`); inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on TPU v5e (see bench notes in the repo): larger blocks amortise the
+# per-program online-softmax bookkeeping; (256, 512) beats XLA fused attention
+# by ~1.25x bf16 / ~1.5x f32 at N=1729 while using O(N) memory.
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+    """One (b, h, q_block): online-softmax pass over key blocks."""
+    q = q_ref[:].astype(jnp.float32)  # (BQ, D)
+    bq = q.shape[0]
+    nk = k_ref.shape[0] // block_k
+
+    def body(ik, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        # mask out padded keys
+        key_idx = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    d = v_ref.shape[-1]
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(l)  # (BQ, 1)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len):
+    """dQ for one (b, h, q_block): loop over key blocks."""
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]    # (BQ, 1)
+    delta = delta_ref[:]  # (BQ, 1)
+    nk = k_ref.shape[0] // block_k
+
+    def body(ik, dq):
+        k = k_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        key_idx = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
+):
+    """dK, dV for one (b, h, k_block): loop over query blocks."""
+    k = k_ref[:].astype(jnp.float32)  # (BK, D)
+    v = v_ref[:].astype(jnp.float32)
+    nq = q_ref.shape[0] // block_q
+
+    def body(iq, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(iq * block_q, block_q), :]
+        delta = delta_ref[pl.ds(iq * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        # mask padded queries: their p rows must be 0 so they contribute nothing
+        q_idx = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(q_idx < q_len, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _pad_len(n: int, block: int) -> int:
+    return ((n + block - 1) // block) * block
+
+
+def _pad_seq(x: jnp.ndarray, to_len: int) -> jnp.ndarray:
+    n = x.shape[-2]
+    if n == to_len:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, to_len - n)
+    return jnp.pad(x, pad)
+
+
+def _fwd(q, k, v, scale, block_q, block_k, interpret):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
+    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
+
+    grid = (b, h, pq // block_q)
+    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, pq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return o[:, :, :n_q], (lse, o)
+
+
+def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
+    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
+    dop = _pad_seq(do, pq)
+
+    # delta = rowsum(dO * O) per query row (f32), kept as (b, h, pq, 1)
+    delta = jnp.sum(
+        dop.astype(jnp.float32) * o_padded.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k, kv_len=n_kv),
+        grid=(b, h, pq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q, q_len=n_q),
+        grid=(b, h, pk // block_k),
+        in_specs=[
+            pl.BlockSpec((None, None, pq, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, pq, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, pq, 1), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, pq, 1), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, pk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, pk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    return dq[:, :, :n_q], dk[:, :, :n_kv], dv[:, :, :n_kv]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """softmax(q k^T * scale) v over (B, H, N, D), O(N) memory."""
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    out, (lse, o_padded) = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, o_padded, lse)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, o_padded, lse = res
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    dq, dk, dv = _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
