@@ -1,0 +1,253 @@
+"""3D Vision Transformer trunk, TPU-first.
+
+Behavioural parity with the reference trunk (/root/reference/model/vit.py):
+pre-LN blocks `x + attn(LN(x))`, `x + mlp(LN(x))` (vit.py:139-144, DropPath is
+commented out there and therefore absent here too), LayerNorm eps 1e-6, qkv
+bias, GELU MLP with hidden = dim * mlp_ratio.
+
+TPU-first design choices:
+- Patch embedding is patchify + Dense (mathematically identical to the
+  reference's kernel==stride Conv3d, vit.py:65-74, but goes straight to the
+  MXU with no im2col or conv lowering).
+- Attention dispatches to the Pallas flash kernel or XLA fused attention
+  (kernels/flash_attention.py), never materialising (N, N) scores in HBM on
+  the flash path.
+- Compute dtype is configurable (bf16 for throughput); params and LayerNorm
+  statistics stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vit_ae_plus_plus_tpu.configs import ViTConfig
+from vit_ae_plus_plus_tpu.kernels import multihead_attention
+from vit_ae_plus_plus_tpu.ops import patchify
+
+# "xavier_uniform following official JAX ViT" (reference vit_autoenc.py:90-95)
+dense_init = nn.initializers.xavier_uniform()
+# torch trunc_normal_(std=.02) truncates at +-2.0 (=100 sigma) — effectively a
+# plain normal, as the reference itself notes (vit_autoenc.py:83).
+token_init = nn.initializers.normal(stddev=0.02)
+
+
+def _dt(name: str):
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference model/vit.py:78-96)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, kernel_init=dense_init, dtype=self.dtype)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference model/vit.py:100-124) with the
+    compute routed through kernels.multihead_attention."""
+
+    num_heads: int
+    attn_impl: str = "auto"
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, Dh)
+        out = multihead_attention(q, k, v, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference model/vit.py:126-144)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attn_impl: str = "auto"
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dim = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.num_heads,
+            attn_impl=self.attn_impl,
+            dropout=self.attn_dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(
+            int(dim * self.mlp_ratio), dim, dropout=self.dropout, dtype=self.dtype, name="mlp"
+        )(y, deterministic)
+        return x
+
+
+class PatchEmbed3D(nn.Module):
+    """Patchify + Dense == the reference's stride-p Conv3d (vit.py:52-76)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, volume):
+        x = patchify(volume.astype(self.dtype), self.patch_size)
+        return nn.Dense(self.embed_dim, kernel_init=dense_init, dtype=self.dtype, name="proj")(x)
+
+
+class VisionTransformer3D(nn.Module):
+    """Encoder-only 3D ViT for classification / SSL feature extraction.
+
+    Parity: reference model/vit.py:147-297. pos_embed is LEARNED here
+    (normal 0.02 init, vit.py:231) — unlike the MAE, whose table is fixed
+    sincos. `forward_features` returns the fc_norm'd global mean over patch
+    tokens when global_pool, else the post-norm cls token (vit.py:265-284).
+    """
+
+    cfg: ViTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed3D(c.patch_size, c.embed_dim, dtype=_dt(c.dtype))
+        self.cls_token = self.param("cls_token", token_init, (1, 1, c.embed_dim))
+        self.pos_embed = self.param("pos_embed", token_init, (1, c.num_patches + 1, c.embed_dim))
+        self.blocks = [
+            Block(
+                c.num_heads,
+                c.mlp_ratio,
+                attn_impl=c.attn_impl,
+                dropout=c.drop_rate,
+                attn_dropout=c.attn_drop_rate,
+                dtype=_dt(c.dtype),
+                name=f"blocks_{i}",
+            )
+            for i in range(c.depth)
+        ]
+        if c.global_pool:
+            # global_pool deletes `norm` and adds `fc_norm` (reference vit.py:219-222)
+            self.fc_norm = nn.LayerNorm(epsilon=1e-6, dtype=_dt(c.dtype))
+        else:
+            self.norm = nn.LayerNorm(epsilon=1e-6, dtype=_dt(c.dtype))
+        if c.num_classes > 0:
+            self.head = nn.Dense(c.num_classes, kernel_init=token_init, dtype=_dt(c.dtype))
+
+    def forward_features(self, x, train: bool = False):
+        c = self.cfg
+        x = self.patch_embed(x)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(self.cls_token.astype(x.dtype), (b, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x, deterministic=not train)
+        if c.global_pool:
+            pooled = jnp.mean(x[:, 1:, :], axis=1)
+            return self.fc_norm(pooled)
+        x = self.norm(x)
+        return x[:, 0]
+
+    def __call__(self, x, train: bool = False):
+        feats = self.forward_features(x, train=train)
+        if self.cfg.num_classes > 0:
+            return self.head(feats)
+        return feats
+
+
+# torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) == uniform with
+# variance 1/(3 fan_in)): the reference's predictor/projector heads are created
+# AFTER the xavier re-init pass runs, so they keep torch defaults
+# (vit_autoenc.py:241-268 — the apply() in the parent __init__ precedes them).
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class MLPHead(nn.Module):
+    """SimSiam-style head: [Dense(no bias) -> BN -> ReLU] x n -> Dense.
+
+    Covers both the 2-layer predictor (reference vit_autoenc.py:263-268) and
+    the 3-layer projector (:255-262, final BN affine-free, no final Dense).
+    BatchNorm uses batch statistics in training exactly like torch's
+    BatchNorm1d over the flattened (B*L, D) token axis.
+    """
+
+    dim: int
+    num_hidden: int = 1
+    final_dense: bool = True  # predictor ends with a biased Dense
+    final_bn_affine: bool = False  # projector ends with affine-free BN
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_hidden):
+            x = nn.Dense(
+                self.dim, use_bias=False, kernel_init=torch_linear_init, dtype=self.dtype
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
+            )(x)
+            x = nn.relu(x)
+        if self.final_dense:
+            x = nn.Dense(self.dim, kernel_init=torch_linear_init, dtype=self.dtype)(x)
+        else:
+            x = nn.Dense(
+                self.dim, use_bias=False, kernel_init=torch_linear_init, dtype=self.dtype
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                use_bias=self.final_bn_affine,
+                use_scale=self.final_bn_affine,
+                dtype=jnp.float32,
+            )(x)
+        return x
+
+
+class ContrastiveHeads(nn.Module):
+    """Predictor (+ optional projector) for two-view contrastive training.
+
+    Parity: reference VisionTransformer3DContrastive (model/vit.py:301-337)
+    and ContrastiveMAEViT heads (model/vit_autoenc.py:241-268).
+    """
+
+    dim: int
+    use_proj: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.use_proj:
+            self.projection_head = MLPHead(
+                self.dim, num_hidden=2, final_dense=False, dtype=self.dtype, name="projector"
+            )
+        self.predictor = MLPHead(self.dim, num_hidden=1, final_dense=True, dtype=self.dtype)
+
+    def __call__(self, z1, z2, train: bool = True, apply_proj: bool = False):
+        if self.use_proj and apply_proj:
+            z1 = self.projection_head(z1, train=train)
+            z2 = self.projection_head(z2, train=train)
+        p1 = self.predictor(z1, train=train)
+        p2 = self.predictor(z2, train=train)
+        return p1, p2, z1, z2

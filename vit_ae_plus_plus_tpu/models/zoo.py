@@ -1,0 +1,106 @@
+"""Model zoo + factory.
+
+Parity: the named constructors in reference model/vit_autoenc.py:288-315 and
+the dispatch table in model/model_factory.py:9-29. Presets are config
+dataclasses rather than closures; `get_models(model_name, args-like)` keeps
+the reference's factory signature for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import flax.linen as nn
+
+from vit_ae_plus_plus_tpu.configs import MAEConfig, ViTConfig
+from vit_ae_plus_plus_tpu.models.mae import MaskedAutoencoderViT3D
+from vit_ae_plus_plus_tpu.models.vit import ContrastiveHeads, VisionTransformer3D
+
+
+def mae_vit_base_patch16(**kw) -> MAEConfig:
+    """ViT-B encoder, 512d/8L/16H decoder (vit_autoenc.py:296-301)."""
+    return MAEConfig(
+        embed_dim=768, depth=12, num_heads=12,
+        decoder_embed_dim=512, decoder_depth=8, decoder_num_heads=16, **kw
+    )
+
+
+def mae_vit_large_patch16(**kw) -> MAEConfig:
+    """ViT-L encoder (vit_autoenc.py:288-293)."""
+    return MAEConfig(
+        embed_dim=1024, depth=24, num_heads=16,
+        decoder_embed_dim=512, decoder_depth=8, decoder_num_heads=16, **kw
+    )
+
+
+def contr_mae_vit_base_patch16(**kw) -> MAEConfig:
+    """Contrastive ViT-B MAE — the default pretraining arch
+    (vit_autoenc.py:304-309; k_fold_cross_valid_combined_brats.py:37)."""
+    return mae_vit_base_patch16(contrastive=True, **kw)
+
+
+def vit_base_3d(**kw) -> ViTConfig:
+    return ViTConfig(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_large_3d(**kw) -> ViTConfig:
+    return ViTConfig(embed_dim=1024, depth=24, num_heads=16, **kw)
+
+
+MODEL_ZOO: Dict[str, Callable[..., Any]] = {
+    "mae_vit_base_patch16": mae_vit_base_patch16,
+    "mae_vit_large_patch16": mae_vit_large_patch16,
+    "contr_mae_vit_base_patch16": contr_mae_vit_base_patch16,
+    "vit_base_3d": vit_base_3d,
+    "vit_large_3d": vit_large_3d,
+}
+
+
+def build_model(cfg) -> nn.Module:
+    """Config -> flax module."""
+    if isinstance(cfg, MAEConfig):
+        return MaskedAutoencoderViT3D(cfg)
+    if isinstance(cfg, ViTConfig):
+        return VisionTransformer3D(cfg)
+    raise TypeError(f"unknown config type {type(cfg)}")
+
+
+def get_models(model_name: str, args) -> Tuple[nn.Module, Any]:
+    """Reference-compatible factory (model/model_factory.py:9-29).
+
+    model_name: 'autoenc' | 'autoenc_contr' | 'vit' | 'contrastive'.
+    `args` needs: model (zoo name, for autoenc), volume_size, in_channels,
+    patch_size, and for 'vit': nb_classes, global_pool.
+    Returns (module, config).
+    """
+    common = dict(
+        volume_size=getattr(args, "volume_size", 96),
+        in_chans=getattr(args, "in_channels", 1),
+        patch_size=getattr(args, "patch_size", 8),
+        dtype=getattr(args, "compute_dtype", "float32"),
+    )
+    if model_name in ("autoenc", "autoenc_contr"):
+        zoo_name = getattr(args, "model", "contr_mae_vit_base_patch16")
+        cfg = MODEL_ZOO[zoo_name](
+            norm_pix_loss=getattr(args, "norm_pix_loss", False),
+            use_proj=getattr(args, "use_proj", False),
+            **common,
+        )
+        return build_model(cfg), cfg
+    if model_name == "vit":
+        cfg = vit_base_3d(
+            num_classes=getattr(args, "nb_classes", 2),
+            global_pool=getattr(args, "global_pool", True),
+            drop_rate=getattr(args, "drop_path", 0.0),
+            **common,
+        )
+        return build_model(cfg), cfg
+    if model_name == "contrastive":
+        cfg = vit_base_3d(
+            num_classes=getattr(args, "nb_classes", 2),
+            global_pool=getattr(args, "global_pool", True),
+            **common,
+        )
+        return build_model(cfg), cfg
+    raise ValueError(f"unknown model_name {model_name!r}")
