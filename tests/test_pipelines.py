@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests on synthetic BraTS-shaped data (tiny model)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
+from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_results
+
+
+@pytest.fixture(scope="module")
+def synthetic_brats(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brats")
+    rng = np.random.default_rng(0)
+    n = 16
+    x = rng.standard_normal((n, 16, 16, 16, 1)).astype(np.float32)
+    y = np.array([0, 1] * (n // 2))
+    np.save(root / "x_whole_ssl.npy", x)
+    np.save(root / "y_whole_ssl.npy", y)
+    return str(root)
+
+
+def test_pretrain_kfold_end_to_end(synthetic_brats, tmp_path):
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=2, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", contr_weight=0.001)
+    work = str(tmp_path / "work")
+    results = pretrain_kfold(data_cfg, train_cfg, work,
+                             model_name="contr_mae_vit_tiny_patch4", n_splits=2)
+    assert set(results) == {0, 1}
+    for fold in (0, 1):
+        assert np.isfinite(results[fold]["min_loss"])
+        # checkpoints + features on disk (the filesystem contract, SURVEY.md §1)
+        assert os.path.isdir(os.path.join(work, "checkpoints", f"fold_{fold}",
+                                          "checkpoint-min_loss"))
+        for tag in ("train", "test"):
+            f = np.load(os.path.join(work, "ssl_features_dir",
+                                     f"{tag}_contrast_ssl_features_split_{fold}.npy"))
+            l = np.load(os.path.join(work, "ssl_features_dir",
+                                     f"{tag}_contrast_ssl_labels_split_{fold}.npy"))
+            assert f.shape[1] == 24 and f.shape[0] == l.shape[0]
+    # epoch log exists with the reference's JSON-lines contract
+    log = os.path.join(work, "checkpoints", "log.txt")
+    lines = [json.loads(x) for x in open(log)]
+    assert {"train_loss", "train_reconstruction_loss", "epoch", "fold"} <= set(lines[0])
+
+    # probe on top of the pretrained folds (reuses the same persisted fold indices)
+    from vit_ae_plus_plus_tpu.pipelines.probe_kfold import probe_kfold
+
+    probe_results = probe_kfold(
+        data_cfg, train_cfg, str(tmp_path / "probe"), work,
+        model_name="contr_mae_vit_tiny_patch4", n_splits=2, fix_backbone=True,
+        epochs=1,
+        folds=None,
+    )
+    assert set(probe_results) == {0, 1}
+    for fold in probe_results:
+        for name, stats in probe_results[fold].items():
+            assert 0.0 <= stats["roc_auc_score"] <= 1.0
+
+
+def test_evaluate_results_thresholding():
+    probs = np.array([0.9, 0.7, 0.1, 0.2, 0.64, 0.66])
+    labels = np.array([1, 1, 0, 0, 0, 1])
+    spec, sens, auroc = evaluate_results(probs.copy(), labels)
+    assert auroc == 1.0
+    assert spec == 1.0 and sens == 1.0  # 0.65 threshold separates exactly
+
+
+def test_loader_two_crops_and_prefetch(synthetic_brats):
+    from vit_ae_plus_plus_tpu.data import BraTSDataset, Loader, default_ssl_transforms
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import TwoCropsDataset
+
+    ds = BraTSDataset(synthetic_brats, "whole", transform=default_ssl_transforms(),
+                      use_z_score=True)
+    two = TwoCropsDataset(ds)
+    v1, v2, label = two[0]
+    assert v1.shape == v2.shape == (1, 16, 16, 16)
+    assert not np.allclose(v1, v2)  # independent augmentations
+    loader = Loader(two, batch_size=4, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    a, b, labs = batches[0]
+    assert a.shape == (4, 1, 16, 16, 16) and labs.shape == (4,)

@@ -1,0 +1,180 @@
+"""Command-line interface: one entry point with subcommands replacing the
+reference's per-script argparse mains (SURVEY.md §7 layering).
+
+    python -m vit_ae_plus_plus_tpu.cli pretrain-kfold --config config.ini ...
+    python -m vit_ae_plus_plus_tpu.cli extract-features ...
+    python -m vit_ae_plus_plus_tpu.cli probe-kfold / finetune-kfold ...
+    python -m vit_ae_plus_plus_tpu.cli eval-classical ...
+    python -m vit_ae_plus_plus_tpu.cli resnet-kfold / moco-kfold ...
+    python -m vit_ae_plus_plus_tpu.cli prepare-data brats/egd ...
+    python -m vit_ae_plus_plus_tpu.cli sanity-viz ...
+
+The reference's INI-overrides-CLI behaviour is kept: pass --config to load a
+config.ini section over the defaults (configs/ini.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", default=None, help="config.ini path (overrides CLI)")
+    p.add_argument("--config-key", default="K_FOLD", help="INI section for this run")
+    p.add_argument("--dataset", default="brats", choices=["brats", "egd"])
+    p.add_argument("--data-path", default="", help="root of prepared split arrays")
+    p.add_argument("--work-dir", default="output_dir/run")
+    p.add_argument("--volume-size", type=int, default=96)
+    p.add_argument("--in-channels", type=int, default=1)
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--patch-size", type=int, default=8)
+    p.add_argument("--use-z-score", action="store_true", default=True)
+    p.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--model", default="contr_mae_vit_base_patch16")
+    p.add_argument("--n-splits", type=int, default=5)
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _configs(args) -> tuple:
+    if args.config:
+        from vit_ae_plus_plus_tpu.configs.ini import bootstrap
+
+        data_cfg, train_cfg, extras = bootstrap(args.config, args.config_key)
+        data_cfg = dataclasses.replace(data_cfg, base_path=args.data_path or data_cfg.base_path)
+        train_cfg = dataclasses.replace(train_cfg, compute_dtype=args.compute_dtype)
+        return data_cfg, train_cfg
+    data_cfg = DataConfig(
+        name=args.dataset, base_path=args.data_path, volume_size=args.volume_size,
+        in_channels=args.in_channels, num_classes=args.num_classes,
+        use_z_score=args.use_z_score,
+    )
+    train_cfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+        patch_size=args.patch_size, compute_dtype=args.compute_dtype,
+    )
+    return data_cfg, train_cfg
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("vit_ae_plus_plus_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "resnet-kfold",
+                 "moco-kfold", "extract-features", "eval-classical", "sanity-viz"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name in ("probe-kfold", "finetune-kfold"):
+            p.add_argument("--pretrain-dir", required=True)
+            p.add_argument("--use-mixup", action="store_true")
+        if name == "extract-features":
+            p.add_argument("--checkpoint", required=True)
+            p.add_argument("--only-test-split", action="store_true")
+        if name == "eval-classical":
+            p.add_argument("--feature-dir", required=True)
+            p.add_argument("--method", default="svm", choices=["svm", "rf", "linear"])
+        if name == "sanity-viz":
+            p.add_argument("--checkpoint", required=True)
+            p.add_argument("--num-samples", type=int, default=2)
+
+    prep = sub.add_parser("prepare-data")
+    prep.add_argument("kind", choices=["brats", "egd"])
+    prep.add_argument("--volumes", help="brats: flair_all.npy")
+    prep.add_argument("--labels", help="brats: label_all.npy")
+    prep.add_argument("--csv", help="egd: radiologist csv")
+    prep.add_argument("--scans-root", help="egd: pre_processed dir")
+    prep.add_argument("--out-dir", required=True)
+    prep.add_argument("--overwrite", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "prepare-data":
+        from vit_ae_plus_plus_tpu.data import splits as S
+
+        if args.kind == "brats":
+            S.split_brats_data(args.volumes, args.labels, args.out_dir, args.overwrite)
+        else:
+            S.prepare_egd_splits(args.csv, args.scans_root, args.out_dir,
+                                 "who_idh_mutation_status")
+            S.prepare_egd_splits(args.csv, args.scans_root, args.out_dir,
+                                 "who_1p19q_codeletion")
+            S.refine_1p19q_scans(args.out_dir)
+        return 0
+
+    data_cfg, train_cfg = _configs(args)
+
+    if args.cmd == "pretrain-kfold":
+        from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+        out = pretrain_kfold(data_cfg, train_cfg, args.work_dir, model_name=args.model,
+                             n_splits=args.n_splits, n_devices=args.n_devices)
+    elif args.cmd in ("probe-kfold", "finetune-kfold"):
+        from vit_ae_plus_plus_tpu.pipelines.probe_kfold import probe_kfold
+
+        out = probe_kfold(
+            data_cfg, train_cfg, args.work_dir, args.pretrain_dir, model_name=args.model,
+            n_splits=args.n_splits, fix_backbone=(args.cmd == "probe-kfold"),
+            use_mixup=args.use_mixup,
+        )
+    elif args.cmd == "resnet-kfold":
+        from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold
+
+        out = resnet_kfold(data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits)
+    elif args.cmd == "moco-kfold":
+        from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+        out = moco_kfold(data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits)
+    elif args.cmd == "extract-features":
+        from vit_ae_plus_plus_tpu.pipelines.extract_features import extract_ssl_features
+
+        out = extract_ssl_features(
+            data_cfg, args.checkpoint, args.work_dir, model_name=args.model,
+            batch_size=args.batch_size, only_test_split=args.only_test_split,
+            compute_dtype=args.compute_dtype,
+        )
+    elif args.cmd == "eval-classical":
+        from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_features
+
+        out = evaluate_features(args.feature_dir, n_splits=args.n_splits, method=args.method)
+    elif args.cmd == "sanity-viz":
+        from vit_ae_plus_plus_tpu.pipelines.sanity_viz import (
+            nonzero_fractions, reconstruct, save_slice_pngs,
+        )
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from vit_ae_plus_plus_tpu.data import get_dataset
+        from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+        from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
+        from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+
+        mae_cfg = MODEL_ZOO[args.model](
+            volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
+            dtype=args.compute_dtype,
+        )
+        model = build_model(mae_cfg)
+        params = load_params(args.checkpoint, _mae_params_template(mae_cfg, 0))
+        dataset = get_dataset(data_cfg.name, "test" if data_cfg.name == "brats" else "test",
+                              data_cfg, transforms=None, use_z_score=data_cfg.use_z_score)
+        out = {}
+        for i in range(min(args.num_samples, len(dataset))):
+            _aug, orig, _lab = dataset[i]
+            recon = reconstruct(model, {"params": params}, orig[None], seed=i)
+            out[i] = nonzero_fractions(recon)
+            save_slice_pngs(recon, args.work_dir, sample_idx=0)
+    else:
+        raise SystemExit(f"unknown command {args.cmd}")
+
+    print(json.dumps(out, default=str) if out is not None else "done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,6 +115,7 @@ class TrainConfig:
     warmup_epochs: float = 40.0
     weight_decay: float = 0.05
     mask_ratio: float = 0.75
+    patch_size: int = 8
     clip_grad: Optional[float] = None
     seed: int = 42
     # loss weights

@@ -1,0 +1,107 @@
+"""Host-side batch loader with threaded prefetch.
+
+Replaces the reference's torch DataLoader + worker processes
+(k_fold_cross_valid_combined_brats.py:134-148): per-sample augmentation runs
+in a thread pool (numpy/scipy release the GIL in the hot paths), batches are
+stacked contiguously, and a small prefetch queue overlaps host augmentation
+with device compute — the reference instead blocked on `cuda.synchronize()`
+every step (train_one_epoch.py:76).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def all_labels(dataset) -> np.ndarray:
+    """Labels for StratifiedKFold without materialising volumes (the reference
+    pushes every item through __getitem__ incl. augmentation just to get
+    features it never uses for splitting — train_3d_resnet.py:196-204)."""
+    labels = getattr(dataset, "labels", None)
+    if labels is not None:
+        return np.asarray(labels)
+    if getattr(dataset, "has_labels", False):
+        return np.asarray([int(x[1]) for x in dataset.indices])
+    return np.full(len(dataset), -100)
+
+
+def all_items(dataset) -> Tuple[np.ndarray, np.ndarray]:
+    """(stacked_augmented, labels) — reference-compatible materialisation."""
+    items = [dataset[i] for i in range(len(dataset))]
+    return np.stack([it[0] for it in items]), np.asarray([it[2] for it in items])
+
+
+class Loader:
+    """Iterable over (augmented, original, labels) numpy batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        indices: Optional[Sequence[int]] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng(self._seed + self._epoch).shuffle(order)
+        n_batches = len(self)
+        for b in range(n_batches):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self):
+        self._epoch += 1
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def collate(batch_idx):
+            items = list(pool.map(self.dataset.__getitem__, batch_idx))
+            aug = np.stack([it[0] for it in items])
+            orig = np.stack([it[1] for it in items])
+            labels = np.asarray([it[2] for it in items])
+            return aug, orig, labels
+
+        def producer():
+            try:
+                for batch_idx in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(collate(batch_idx))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

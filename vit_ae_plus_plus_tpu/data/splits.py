@@ -1,0 +1,157 @@
+"""One-time dataset split bootstrap (the `prepare-data` CLI step).
+
+Parity targets:
+- BraTS: reference /root/reference/bootstrap/brats/brats_split.py:23-88 —
+  stratified 90/10 train/test then 90/10 train/val (random_state=42), saving
+  index arrays plus materialised x/y_{train,val,test,whole}_ssl.npy.
+- EGD: reference /root/reference/bootstrap/egd/egd_split.py:15-103 —
+  radiologist CSV -> label -1 = SSL pool, else labelled pool; scans with
+  missing modality files skipped; pickles per target column, plus the
+  `correct_who_1p19q…` refinement removing IDH-SSL leakage (:79-90).
+
+Deltas: paths are arguments (no hard-coded /mnt/...), the interactive
+overwrite prompt is an `overwrite` flag, and k-fold index persistence
+(reference k_fold_…_brats.py:113-125) lives here too.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from sklearn.model_selection import StratifiedKFold, train_test_split
+
+from vit_ae_plus_plus_tpu.data.egd import MODALITIES
+
+
+def sanity_check_disjoint(*splits: Sequence[int]) -> bool:
+    sets = [set(np.asarray(s).tolist()) for s in splits]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if sets[i] & sets[j]:
+                return False
+    return True
+
+
+def split_brats_data(
+    volumes_path: str,
+    labels_path: str,
+    out_dir: str,
+    overwrite: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Create BraTS SSL splits; returns the index arrays."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "x_train_ssl.npy")
+    if os.path.exists(marker) and not overwrite:
+        raise FileExistsError(f"{marker} exists; pass overwrite=True to recreate")
+
+    data = np.load(volumes_path, mmap_mode="r")
+    labels = np.load(labels_path)
+    indices = np.arange(data.shape[0])
+    train_idx, test_idx = train_test_split(
+        indices, train_size=0.9, stratify=labels, random_state=42
+    )
+    train_idx, val_idx = train_test_split(
+        train_idx, train_size=0.9, stratify=labels[train_idx], random_state=42
+    )
+    assert sanity_check_disjoint(train_idx, val_idx, test_idx)
+
+    split_indices = {"train": train_idx, "val": val_idx, "test": test_idx, "whole": indices}
+    for name, idx in split_indices.items():
+        if name != "whole":
+            np.save(os.path.join(out_dir, f"{name}_indices.npy"), idx)
+        np.save(os.path.join(out_dir, f"x_{name}_ssl.npy"), np.asarray(data[np.sort(idx)] if name != "whole" else data))
+        np.save(os.path.join(out_dir, f"y_{name}_ssl.npy"), labels[np.sort(idx)] if name != "whole" else labels)
+    return split_indices
+
+
+def prepare_egd_splits(
+    csv_path: str,
+    scans_root: str,
+    out_dir: str,
+    target_col: str = "who_idh_mutation_status",
+) -> Tuple[List[str], List[Tuple[str, int]]]:
+    """EGD split pickles from the radiologist CSV (egd_split.py:40-76)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = pd.read_csv(csv_path, index_col=0, usecols=["Subject", target_col])
+
+    ssl_scans, labelled, all_scans = [], [], []
+    for name in df.index:
+        label = df.loc[name].item()
+        if np.isnan(label):
+            raise ValueError(f"missing label for {name}")
+        scan = f"MR_{name}"
+        if label == -1:
+            ssl_scans.append(scan)
+        else:
+            labelled.append((scan, int(label)))
+        all_scans.append(scan)
+    assert not set(ssl_scans) & {s for s, _ in labelled}, "SSL/labelled overlap"
+
+    def valid(scans, has_labels):
+        keep = []
+        for item in scans:
+            scan = item[0] if has_labels else item
+            if all(
+                os.path.exists(os.path.join(scans_root, scan, f"{m}.npy")) for m in MODALITIES
+            ):
+                keep.append(item)
+            else:
+                print(f"Skipping {scan}: missing modality files")
+        return keep
+
+    ssl_scans = valid(ssl_scans, has_labels=False)
+    labelled = valid(labelled, has_labels=True)
+
+    with open(os.path.join(out_dir, f"{target_col}_ssl.pkl"), "wb") as f:
+        pickle.dump(ssl_scans, f)
+    with open(os.path.join(out_dir, f"{target_col}_annotated_mit_labels.pkl"), "wb") as f:
+        pickle.dump(labelled, f)
+    with open(os.path.join(out_dir, f"{target_col}_all.pkl"), "wb") as f:
+        pickle.dump(all_scans, f)
+    return ssl_scans, labelled
+
+
+def refine_1p19q_scans(out_dir: str) -> None:
+    """Remove 1p19q-labelled scans the IDH-SSL pool has seen
+    (egd_split.py:79-90)."""
+    with open(os.path.join(out_dir, "who_idh_mutation_status_ssl.pkl"), "rb") as f:
+        ssl_seen = set(pickle.load(f))
+    with open(os.path.join(out_dir, "who_1p19q_codeletion_annotated_mit_labels.pkl"), "rb") as f:
+        labelled = pickle.load(f)
+    refined = [item for item in labelled if item[0] not in ssl_seen]
+    with open(
+        os.path.join(out_dir, "correct_who_1p19q_codeletion_annotated_mit_labels.pkl"), "wb"
+    ) as f:
+        pickle.dump(refined, f)
+
+
+def kfold_indices(
+    labels: np.ndarray, n_splits: int, index_dir: Optional[str] = None
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Stratified k-fold with persisted per-fold indices for restart safety
+    (reference k_fold_…_brats.py:111-125)."""
+    if index_dir is not None:
+        os.makedirs(index_dir, exist_ok=True)
+    folds = []
+    kf = StratifiedKFold(n_splits=n_splits, random_state=None, shuffle=False)
+    for idx, (train_ids, test_ids) in enumerate(kf.split(np.zeros_like(labels), labels)):
+        if index_dir is not None:
+            tr_path = os.path.join(index_dir, f"train_{idx}")
+            te_path = os.path.join(index_dir, f"test_{idx}")
+            if os.path.exists(tr_path) and os.path.exists(te_path):
+                with open(tr_path, "rb") as f:
+                    train_ids = pickle.load(f)
+                with open(te_path, "rb") as f:
+                    test_ids = pickle.load(f)
+            else:
+                with open(tr_path, "wb") as f:
+                    pickle.dump(train_ids, f)
+                with open(te_path, "wb") as f:
+                    pickle.dump(test_ids, f)
+        folds.append((np.asarray(train_ids), np.asarray(test_ids)))
+    return folds

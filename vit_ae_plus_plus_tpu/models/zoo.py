@@ -40,6 +40,19 @@ def contr_mae_vit_base_patch16(**kw) -> MAEConfig:
     return mae_vit_base_patch16(contrastive=True, **kw)
 
 
+def mae_vit_tiny_patch4(**kw) -> MAEConfig:
+    """Tiny debug/test preset (not in the reference zoo)."""
+    kw.setdefault("patch_size", 4)
+    return MAEConfig(
+        embed_dim=24, depth=2, num_heads=3,
+        decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2, **kw
+    )
+
+
+def contr_mae_vit_tiny_patch4(**kw) -> MAEConfig:
+    return mae_vit_tiny_patch4(contrastive=True, **kw)
+
+
 def vit_base_3d(**kw) -> ViTConfig:
     return ViTConfig(embed_dim=768, depth=12, num_heads=12, **kw)
 
@@ -52,6 +65,8 @@ MODEL_ZOO: Dict[str, Callable[..., Any]] = {
     "mae_vit_base_patch16": mae_vit_base_patch16,
     "mae_vit_large_patch16": mae_vit_large_patch16,
     "contr_mae_vit_base_patch16": contr_mae_vit_base_patch16,
+    "mae_vit_tiny_patch4": mae_vit_tiny_patch4,
+    "contr_mae_vit_tiny_patch4": contr_mae_vit_tiny_patch4,
     "vit_base_3d": vit_base_3d,
     "vit_large_3d": vit_large_3d,
 }

@@ -1,0 +1,3 @@
+from vit_ae_plus_plus_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+__all__ = ["make_mesh", "shard_batch", "replicate"]

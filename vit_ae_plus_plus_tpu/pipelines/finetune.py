@@ -1,0 +1,183 @@
+"""Supervised downstream training: full fine-tune and linear probe.
+
+Parity targets:
+- fine-tune: reference /root/reference/post_training_utils/fine_tune_epoch.py
+  :34-469 — class-weighted CE (hard, or soft+mixup), AdamW with BEiT
+  layer-wise LR decay, per-iteration warmup-cosine, evaluate() collecting all
+  logits then roc_auc/spec/sens, best-model checkpoints by THREE criteria
+  (roc_auc / specificity / sensitivity), final test eval of each;
+- linear probe: reference k_fold_training_scripts/
+  k_fold_cross_valid_linear_projection.py:31-388 — same loop with the
+  backbone frozen (exactly 2 trainable tensors asserted), SGD(momentum 0.9),
+  custom MixUp3D (beta-lambda convex combination of inputs AND one-hot
+  targets, :31-45), 80/20 train/val split with disjointness assert;
+- head init trunc_normal(std=2e-5) after loading the pretrained trunk
+  (fine_tune_epoch.py:334, linear_projection.py:233).
+
+TPU-native: freezing is optax.multi_transform(set_to_zero) — the jit-friendly
+equivalent of requires_grad=False; the whole epoch is one compiled step
+iterated, and evaluation logits accumulate on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_ae_plus_plus_tpu.configs import ViTConfig
+from vit_ae_plus_plus_tpu.models import build_model
+from vit_ae_plus_plus_tpu.ops import soft_cross_entropy_with_weights
+from vit_ae_plus_plus_tpu.train import TrainState, create_train_state, warmup_cosine_schedule
+from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, weight_decay_mask
+from vit_ae_plus_plus_tpu.utils.metrics import roc_auc
+
+
+def mixup_3d(rng, inputs, one_hot_targets, alpha: float = 0.1):
+    """MixUp3D (linear_projection.py:31-45): ONE beta lambda per batch for the
+    permuted convex combination of inputs and targets.
+
+    Note the reference samples two independent lambdas (one per partial_mixup
+    call); we keep a single lambda for inputs and another for targets to match
+    that behaviour exactly.
+    """
+    rng_perm, rng_lam1, rng_lam2 = jax.random.split(rng, 3)
+    idx = jax.random.permutation(rng_perm, inputs.shape[0])
+    lam_x = jax.random.beta(rng_lam1, alpha, alpha)
+    lam_y = jax.random.beta(rng_lam2, alpha, alpha)
+    mixed_x = inputs * lam_x + inputs[idx] * (1 - lam_x)
+    mixed_y = one_hot_targets * lam_y + one_hot_targets[idx] * (1 - lam_y)
+    return mixed_x, mixed_y
+
+
+def weighted_ce(logits, labels, class_weights):
+    """torch CrossEntropyLoss(weight=w) semantics: per-sample weighted NLL,
+    normalised by the sum of sample weights."""
+    logits = logits.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+    w = class_weights[labels]
+    return jnp.sum(nll * w) / jnp.sum(w)
+
+
+def freeze_backbone_tx(params, inner: optax.GradientTransformation):
+    """Train only head.kernel/head.bias (linear_projection.py:235-240,267-268)."""
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if str(path[0].key) == "head" else "freeze", params
+    )
+    n_train = sum(
+        1 for leaf in jax.tree.leaves(
+            jax.tree.map(lambda l: l == "train", labels, is_leaf=lambda x: isinstance(x, str))
+        ) if leaf
+    )
+    assert n_train == 2, f"expected exactly 2 trainable tensors, got {n_train}"
+    return optax.multi_transform({"train": inner, "freeze": optax.set_to_zero()}, labels)
+
+
+def head_init_2e5(params, rng):
+    """Re-init head kernel with trunc_normal(2e-5), zero bias
+    (fine_tune_epoch.py:334)."""
+    params = dict(params)
+    head = dict(params["head"])
+    head["kernel"] = 2e-5 * jax.random.truncated_normal(
+        rng, -2.0, 2.0, params["head"]["kernel"].shape
+    )
+    head["bias"] = jnp.zeros_like(params["head"]["bias"])
+    params["head"] = head
+    return params
+
+
+def make_supervised_steps(
+    model,
+    *,
+    num_classes: int,
+    class_weights: Optional[np.ndarray] = None,
+    use_mixup: bool = False,
+    mixup_alpha: float = 0.1,
+):
+    """(train_step, eval_step) for a classifier ViT."""
+    cw = jnp.asarray(
+        class_weights if class_weights is not None else np.ones(num_classes), jnp.float32
+    )
+
+    def train_step(state: TrainState, batch, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            if use_mixup:
+                one_hot = jax.nn.one_hot(labels, num_classes)
+                x, y = mixup_3d(rng, batch, one_hot, mixup_alpha)
+                logits = model.apply({"params": params}, x, train=True)
+                loss = soft_cross_entropy_with_weights(logits, y, cw)
+            else:
+                logits = model.apply({"params": params}, batch, train=True)
+                loss = weighted_ce(logits, labels, cw)
+            return loss, logits
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss}
+
+    def eval_step(params, batch, labels):
+        logits = model.apply({"params": params}, batch, train=False)
+        loss = weighted_ce(logits, labels, cw)
+        return logits, loss
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+def evaluate(eval_step, params, loader, pad_batch: int) -> Dict[str, float]:
+    """Collect logits over a loader and compute roc_auc / spec / sens / loss
+    (fine_tune_epoch.py:104-145)."""
+    all_logits, all_labels, losses = [], [], []
+    for aug, _orig, labels in loader:
+        n = aug.shape[0]
+        if n < pad_batch:
+            pad = pad_batch - n
+            aug = np.concatenate([aug, aug[:pad]])
+            labels_p = np.concatenate([labels, labels[:pad]])
+            logits, loss = eval_step(params, aug, labels_p)
+            logits = np.asarray(logits)[:n]
+        else:
+            logits, loss = eval_step(params, aug, labels)
+            logits = np.asarray(logits)
+        all_logits.append(logits)
+        all_labels.append(labels)
+        losses.append(float(loss))
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    auc, spec, sens = roc_auc(logits, labels)
+    return {
+        "roc_auc_score": auc,
+        "specificity": spec,
+        "sensitivity": sens,
+        "loss": float(np.mean(losses)),
+    }
+
+
+@dataclasses.dataclass
+class BestModelTracker:
+    """3-criteria best-model selection (fine_tune_epoch.py:436-463)."""
+
+    out_dir: str
+    criteria: Tuple[str, ...] = ("roc_auc_score", "specificity", "sensitivity")
+    names: Tuple[str, ...] = ("best_ft_model", "best_spec_model", "best_sens_model")
+
+    def __post_init__(self):
+        self.best = {c: 0.0 for c in self.criteria}
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def update(self, val_stats: Dict[str, float], params, fold: Optional[int] = None):
+        from vit_ae_plus_plus_tpu.train.checkpoint import save_params
+
+        for crit, name in zip(self.criteria, self.names):
+            if val_stats[crit] > self.best[crit]:
+                self.best[crit] = val_stats[crit]
+                tag = f"{name}_{fold}" if fold is not None else name
+                save_params(os.path.join(self.out_dir, f"checkpoint-{tag}"), params)

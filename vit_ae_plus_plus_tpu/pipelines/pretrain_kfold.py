@@ -1,0 +1,238 @@
+"""Combined k-fold SSL pretraining + per-fold feature extraction.
+
+The primary entry point — parity with reference
+/root/reference/k_fold_training_scripts/k_fold_cross_valid_combined_brats.py:77-281
+(and the EGD variant :79-293):
+
+- stratified k folds (5 BraTS / 3 EGD) with persisted fold indices;
+- per fold: contrastive MAE pretraining with the per-epoch edge-weight
+  schedule 0.01*(1 - epoch/epochs), AdamW(0.9, 0.95) with
+  lr = blr * eff_batch/256, per-iteration warmup-cosine;
+- min-train-loss checkpointing, JSON-lines epoch log;
+- then: graft the encoder into a plain ViT and dump train/test SSL features.
+
+TPU-native execution: one jitted train step (donated state) per fold; host
+metrics are accumulated ON DEVICE and fetched once per epoch — no per-step
+sync (the reference synchronised and emptied the CUDA cache every iteration,
+train_one_epoch.py:76,105).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
+from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
+from vit_ae_plus_plus_tpu.data.loader import all_labels
+from vit_ae_plus_plus_tpu.data.splits import kfold_indices
+from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+from vit_ae_plus_plus_tpu.parallel import make_mesh, replicate, shard_batch
+from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
+from vit_ae_plus_plus_tpu.train import (
+    create_train_state,
+    make_adamw,
+    make_train_step,
+    warmup_cosine_schedule,
+)
+from vit_ae_plus_plus_tpu.train.checkpoint import CheckpointManager, save_params, load_params
+from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger, MetricLogger, TBWriter
+from vit_ae_plus_plus_tpu.train.step import make_feature_step
+
+
+def pretrain_one_fold(
+    fold_idx,
+    train_ids,
+    dataset_aug,
+    train_cfg: TrainConfig,
+    model_name: str,
+    data_cfg: DataConfig,
+    work_dir: str,
+    mesh=None,
+    tb: Optional[TBWriter] = None,
+):
+    """Train the MAE on one fold; returns (mae_cfg, best_params, stats)."""
+    mae_cfg = MODEL_ZOO[model_name](
+        volume_size=data_cfg.volume_size,
+        in_chans=data_cfg.in_channels,
+        patch_size=getattr(train_cfg, "patch_size", 8),
+        norm_pix_loss=train_cfg.norm_pix_loss,
+        dtype=train_cfg.compute_dtype,
+    )
+    model = build_model(mae_cfg)
+
+    loader = Loader(
+        dataset_aug, train_cfg.batch_size, indices=train_ids, shuffle=True, drop_last=True,
+        seed=train_cfg.seed,
+    )
+    steps_per_epoch = len(loader)
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    eff_batch = train_cfg.batch_size * train_cfg.accum_iter * n_data
+    lr = train_cfg.lr if train_cfg.lr is not None else train_cfg.blr * eff_batch / 256
+    schedule = warmup_cosine_schedule(
+        lr, train_cfg.min_lr, train_cfg.warmup_epochs, train_cfg.epochs, steps_per_epoch
+    )
+    tx = make_adamw(
+        schedule, train_cfg.weight_decay, clip_grad=train_cfg.clip_grad,
+        accum_iter=train_cfg.accum_iter,
+    )
+
+    s = data_cfg.volume_size
+    sample = jnp.zeros((train_cfg.batch_size, data_cfg.in_channels, s, s, s), jnp.float32)
+    state = create_train_state(
+        model, (sample, sample), tx,
+        {"params": jax.random.PRNGKey(train_cfg.seed), "mask": jax.random.PRNGKey(1)},
+    )
+    step = make_train_step(
+        model, mae_cfg.patch_size,
+        mask_ratio=train_cfg.mask_ratio,
+        contr_weight=train_cfg.contr_weight if mae_cfg.contrastive else 0.0,
+        perceptual_weight=train_cfg.perceptual_weight,
+        norm_pix_loss=train_cfg.norm_pix_loss,
+        mesh=mesh,
+        donate=train_cfg.donate_state,
+    )
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    ckpt_dir = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}")
+    jsonl = JsonlLogger(os.path.join(work_dir, "checkpoints"))
+    rng = jax.random.PRNGKey(train_cfg.seed + 100 + fold_idx)
+    min_loss, best_params = float("inf"), None
+    t_start = time.time()
+
+    for epoch in range(train_cfg.start_epoch, train_cfg.epochs):
+        edge_w = (
+            0.01 * (1 - epoch / train_cfg.epochs) if train_cfg.use_edge_map else 0.0
+        )
+        edge_w = jnp.float32(edge_w)
+        logger = MetricLogger()
+        sums = None
+        count = 0
+        for aug, orig, _ in logger.log_every(loader, header=f"Fold {fold_idx} Epoch [{epoch}]"):
+            if mesh is not None:
+                aug, orig = shard_batch((aug, orig), mesh)
+            state, metrics = step(state, aug, orig, rng, edge_w)
+            sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
+            count += 1
+        stats = {k: float(v) / count for k, v in jax.device_get(sums).items()}
+        stats["lr"] = float(schedule((epoch + 1) * steps_per_epoch - 1))
+        logger.update(**stats)
+        if tb is not None:
+            tb.scalars(
+                {
+                    "train_loss": stats["loss"],
+                    "lr": stats["lr"],
+                    "reconstruction_loss": stats["reconstruction_loss"],
+                    "sobel_loss": stats["edge_map_loss"],
+                    "perceptual_loss": stats["perceptual_loss"],
+                    "contr_loss": stats["contr_loss"],
+                },
+                epoch + 1,
+            )
+        if not np.isfinite(stats["loss"]):
+            raise FloatingPointError(f"Loss is {stats['loss']}, stopping training")
+        if stats["loss"] < min_loss:
+            min_loss = stats["loss"]
+            best_params = jax.device_get(state.params)
+            save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"), best_params)
+        jsonl.write({**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch,
+                     "fold": fold_idx})
+
+    print(f"Fold {fold_idx}: trained {train_cfg.epochs} epochs in "
+          f"{time.time() - t_start:.0f}s, min loss {min_loss:.4f}")
+    return mae_cfg, best_params, {"min_loss": min_loss}
+
+
+def extract_fold_features(
+    mae_cfg,
+    mae_params,
+    dataset_no_aug,
+    ids,
+    batch_size: int,
+    out_dir: str,
+    tag: str,
+    fold_idx: int,
+    mesh=None,
+    num_classes: int = 2,
+):
+    """Graft encoder -> ViT, run batched forward_features, save npy
+    (reference k_fold_…_brats.py:256-281 + utils/feature_extraction.py:9-45)."""
+    vit_cfg = mae_cfg.encoder_vit_config(num_classes=num_classes, global_pool=True)
+    vit_model = build_model(vit_cfg)
+    s = vit_cfg.volume_size
+    sample = jnp.zeros((1, vit_cfg.in_chans, s, s, s), jnp.float32)
+    vit_vars = vit_model.init({"params": jax.random.PRNGKey(0)}, sample)
+    params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
+    feat_step = make_feature_step(vit_model)
+
+    loader = Loader(
+        dataset_no_aug, batch_size, indices=ids, shuffle=False, drop_last=False,
+        num_workers=8,
+    )
+    feats, labels = [], []
+    for aug, _orig, lab in loader:
+        if aug.shape[0] < batch_size:  # pad final partial batch for static shapes
+            pad = batch_size - aug.shape[0]
+            out = feat_step({"params": params}, np.concatenate([aug, aug[:pad]], axis=0))
+            feats.append(np.asarray(out)[: aug.shape[0]])
+        else:
+            feats.append(np.asarray(feat_step({"params": params}, aug)))
+        labels.append(lab)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy"),
+            np.concatenate(feats))
+    np.save(os.path.join(out_dir, f"{tag}_contrast_ssl_labels_split_{fold_idx}.npy"),
+            np.concatenate(labels))
+
+
+def pretrain_kfold(
+    data_cfg: DataConfig,
+    train_cfg: TrainConfig,
+    work_dir: str,
+    model_name: str = "contr_mae_vit_base_patch16",
+    n_splits: int = 5,
+    n_devices: Optional[int] = None,
+    folds=None,
+) -> Dict:
+    """Full combined pipeline over all folds."""
+    transforms = default_ssl_transforms()
+    dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
+                              use_z_score=data_cfg.use_z_score)
+    dataset_no_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=None,
+                                 use_z_score=data_cfg.use_z_score)
+    labels = all_labels(dataset_aug)
+    fold_list = folds if folds is not None else kfold_indices(
+        labels, n_splits, index_dir=os.path.join(work_dir, "k_fold", "indices_file")
+    )
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        mesh = make_mesh(data=n_devices)
+    tb = TBWriter(os.path.join(work_dir, "logs"))
+
+    results = {}
+    feat_dir = os.path.join(work_dir, "ssl_features_dir")
+    for fold_idx, (train_ids, test_ids) in enumerate(fold_list):
+        mae_cfg, best_params, stats = pretrain_one_fold(
+            fold_idx, train_ids, dataset_aug, train_cfg, model_name, data_cfg, work_dir,
+            mesh=mesh, tb=tb,
+        )
+        extract_fold_features(
+            mae_cfg, best_params, dataset_no_aug, np.sort(train_ids),
+            train_cfg.batch_size, feat_dir, "train", fold_idx, mesh=mesh,
+            num_classes=data_cfg.num_classes,
+        )
+        extract_fold_features(
+            mae_cfg, best_params, dataset_no_aug, np.sort(test_ids),
+            train_cfg.batch_size, feat_dir, "test", fold_idx, mesh=mesh,
+            num_classes=data_cfg.num_classes,
+        )
+        results[fold_idx] = stats
+    return results

@@ -1,0 +1,124 @@
+"""Reconstruction sanity checks and visualisations.
+
+Parity targets:
+- visualization/sanity_checks.py:23-263 — run the MAE on test volumes, report
+  pred/gt nonzero fractions, unpatchify the binary mask to voxel space, save
+  per-slice PNG stacks (original / masked / reconstruction / paste composite,
+  masked regions highlighted);
+- visualization/visualizations.py:37-68 — single-sample masked / recon /
+  paste-composite volumes exported as NIfTI (gated: nibabel optional here);
+- visualization/custom_operation_checks.py:16-57 — patchify/unpatchify
+  round-trip and Sobel/blur visual checks (the round-trip is also a unit test
+  in tests/).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.configs import MAEConfig
+from vit_ae_plus_plus_tpu.models import MaskedAutoencoderViT3D
+from vit_ae_plus_plus_tpu.ops import patchify, unpatchify
+
+
+def reconstruct(model: MaskedAutoencoderViT3D, variables, volume: np.ndarray,
+                mask_ratio: float = 0.75, seed: int = 0) -> Dict[str, np.ndarray]:
+    """One MAE pass -> original / masked / reconstruction / paste volumes.
+
+    `masked`: original with removed patches zeroed; `paste`: reconstruction in
+    removed patches, original elsewhere (sanity_checks.py:82-108 semantics).
+    """
+    p = model.cfg.patch_size
+    out = model.apply(
+        variables, jnp.asarray(volume), None, mask_ratio=mask_ratio,
+        rngs={"mask": jax.random.PRNGKey(seed)}, train=False,
+    )
+    pred_vol = unpatchify(out["pred"].astype(jnp.float32), p)
+    mask_vox = unpatchify(
+        jnp.repeat(out["mask"][:, :, None], p**3 * model.cfg.in_chans, axis=2), p
+    )
+    orig = jnp.asarray(volume, jnp.float32)
+    masked = orig * (1 - mask_vox)
+    paste = pred_vol * mask_vox + orig * (1 - mask_vox)
+    return {
+        "original": np.asarray(orig),
+        "reconstruction": np.asarray(pred_vol),
+        "masked": np.asarray(masked),
+        "paste": np.asarray(paste),
+        "mask": np.asarray(mask_vox),
+    }
+
+
+def nonzero_fractions(recon: Dict[str, np.ndarray], threshold: float = 1e-6) -> Dict[str, float]:
+    """Pred/gt nonzero-voxel fractions (sanity_checks.py:110-111)."""
+    return {
+        "pred_nonzero_frac": float((np.abs(recon["reconstruction"]) > threshold).mean()),
+        "gt_nonzero_frac": float((np.abs(recon["original"]) > threshold).mean()),
+    }
+
+
+def save_slice_pngs(recon: Dict[str, np.ndarray], out_dir: str, sample_idx: int = 0,
+                    axis: int = 0, stride: int = 8) -> int:
+    """Per-slice PNG stack with the masked region tinted blue
+    (sanity_checks.py:30-72). Returns number of slices written."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    vol = recon["original"][sample_idx, 0]
+    rec = recon["reconstruction"][sample_idx, 0]
+    paste = recon["paste"][sample_idx, 0]
+    mask = recon["mask"][sample_idx, 0]
+    n = 0
+    for z in range(0, vol.shape[axis], stride):
+        sl = [slice(None)] * 3
+        sl[axis] = z
+        sl = tuple(sl)
+        fig, axes = plt.subplots(1, 4, figsize=(12, 3))
+        for ax, (title, img) in zip(
+            axes,
+            [("original", vol[sl]), ("masked", vol[sl] * (1 - mask[sl])),
+             ("reconstruction", rec[sl]), ("paste", paste[sl])],
+        ):
+            ax.imshow(img, cmap="gray")
+            if title == "masked":
+                overlay = np.zeros((*mask[sl].shape, 4))
+                overlay[..., 2] = 1.0
+                overlay[..., 3] = 0.35 * mask[sl]
+                ax.imshow(overlay)
+            ax.set_title(title)
+            ax.axis("off")
+        fig.savefig(os.path.join(out_dir, f"sample{sample_idx}_slice{z:03d}.png"),
+                    bbox_inches="tight", dpi=80)
+        plt.close(fig)
+        n += 1
+    return n
+
+
+def save_nifti(recon: Dict[str, np.ndarray], out_dir: str, sample_idx: int = 0) -> bool:
+    """Masked / reconstruction / paste composites as .nii.gz
+    (visualizations.py:37-68). Returns False if nibabel is unavailable."""
+    try:
+        import nibabel as nib
+    except ImportError:
+        print("nibabel not available; skipping NIfTI export")
+        return False
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("original", "masked", "reconstruction", "paste"):
+        img = nib.Nifti1Image(recon[name][sample_idx, 0], affine=np.eye(4))
+        nib.save(img, os.path.join(out_dir, f"{name}_{sample_idx}.nii.gz"))
+    return True
+
+
+def check_patchify_roundtrip(volume: np.ndarray, patch_size: int) -> bool:
+    """custom_operation_checks.py:16-36 equivalent."""
+    x = patchify(jnp.asarray(volume), patch_size)
+    back = unpatchify(x, patch_size)
+    return bool(jnp.allclose(back, jnp.asarray(volume)))

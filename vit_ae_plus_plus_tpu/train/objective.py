@@ -1,0 +1,96 @@
+"""The ViT-AE++ composite objective, assembled as one pure function.
+
+Parity: reference `get_weighted_loss` + the contrastive term
+(/root/reference/model/vit_autoenc.py:205-232, utils/train_one_epoch.py:54,
+113-114). The reported metric contract mirrors the reference 4-tuple
+[loss, raw_edge_map_loss, reconstruction_loss, perceptual_loss] plus
+contr_loss, with 'loss' = edge + recon + percep + contr (train_one_epoch.py:59).
+
+Quirks reproduced deliberately:
+- the perceptual term is computed under stop_gradient — the reference wraps it
+  in torch.no_grad() (vit_autoenc.py:229-230) so it is logged but contributes
+  zero gradient; pass `perceptual_differentiable=True` for the fixed opt-in;
+- Sobel is applied to the *blurred* target but the *raw* prediction
+  (vit_autoenc.py:222-223);
+- recon MSE averages over removed patches only;
+- contrastive latents are per-token (B*(len_keep+1), D) including cls.
+
+Everything here fuses into the single jitted train-step XLA graph; unlike the
+reference there is no per-step host sync, no empty_cache, and the 2x duplicated
+Sobel conv of the reference (:222 computes pred/target maps, :224-225 computes
+the MSE twice) is computed once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.ops import (
+    edge_map_loss,
+    gaussian_blur_3d,
+    masked_mse_loss,
+    negative_cosine_loss,
+    patchify,
+    sobel_edges_3d,
+    unpatchify,
+)
+
+
+def mae_loss_terms(
+    outputs: Dict[str, jnp.ndarray],
+    view1: jnp.ndarray,
+    patch_size: int,
+    *,
+    edge_map_weight: jnp.ndarray | float = 0.0,
+    contr_weight: float = 0.0,
+    perceptual_weight: float = 0.0,
+    norm_pix_loss: bool = False,
+    perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    perceptual_differentiable: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Model outputs + input -> (total_loss, metrics dict)."""
+    pred, mask = outputs["pred"], outputs["mask"]
+
+    target = patchify(view1, patch_size).astype(jnp.float32)
+    if norm_pix_loss:
+        mean = target.mean(axis=-1, keepdims=True)
+        var = target.var(axis=-1, keepdims=True)
+        target = (target - mean) / (var + 1.0e-6) ** 0.5
+
+    pred_f32 = pred.astype(jnp.float32)
+    pred_vol = unpatchify(pred_f32, patch_size)
+    target_vol = unpatchify(target, patch_size)
+
+    pred_edges = sobel_edges_3d(pred_vol)
+    target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol, 2.0))
+    raw_edge = edge_map_loss(pred_edges, target_edges)
+    edge_loss = edge_map_weight * raw_edge
+
+    recon = masked_mse_loss(pred_f32, target, mask)
+
+    if perceptual_fn is not None and perceptual_weight:
+        percep = perceptual_weight * perceptual_fn(pred_vol, target_vol)
+        if not perceptual_differentiable:
+            percep = jax.lax.stop_gradient(percep)
+    else:
+        percep = jnp.float32(0.0)
+
+    if contr_weight and "p1" in outputs:
+        contr = contr_weight * negative_cosine_loss(
+            outputs["p1"], outputs["p2"], outputs["z1"], outputs["z2"]
+        )
+    else:
+        contr = jnp.float32(0.0)
+
+    total = edge_loss + recon + percep + contr
+    metrics = {
+        "loss": total,
+        "edge_map_loss": raw_edge,
+        "reconstruction_loss": recon,
+        "perceptual_loss": percep,
+        "contr_loss": contr,
+    }
+    return total, metrics

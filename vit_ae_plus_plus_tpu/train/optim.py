@@ -1,0 +1,150 @@
+"""Optimizers and schedules.
+
+Parity targets:
+- warmup + half-cosine per-*iteration* LR in fractional epochs
+  (/root/reference/utils/lr_sched.py:9-21);
+- timm-style decay/no-decay grouping: weight decay only for params with
+  ndim > 1 (what `optim_factory.add_weight_decay` does for a model without a
+  no_weight_decay attr, as the MAE is — k_fold_…_brats.py:168);
+- BEiT layer-wise LR decay (utils/lr_decay.py:15-75) as an optax mask tree;
+- LARS (other_baselines/mocov3/moco/optimizer.py:10-43) for the MoCo baseline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_cosine_schedule(
+    base_lr: float,
+    min_lr: float,
+    warmup_epochs: float,
+    total_epochs: float,
+    steps_per_epoch: int,
+) -> optax.Schedule:
+    """Per-step LR: linear warmup in fractional epochs, then half-cosine.
+
+    Exactly reference lr_sched.py:9-21 with epoch = step / steps_per_epoch.
+    """
+
+    def schedule(count):
+        epoch = count / steps_per_epoch
+        warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
+        denom = max(total_epochs - warmup_epochs, 1e-8)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(math.pi * (epoch - warmup_epochs) / denom)
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def weight_decay_mask(params) -> Any:
+    """True (decay) for leaves with ndim > 1 — biases/norm scales exempt."""
+    return jax.tree.map(lambda p: p.ndim > 1, params)
+
+
+def make_adamw(
+    learning_rate: optax.Schedule | float,
+    weight_decay: float = 0.05,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    clip_grad: Optional[float] = None,
+    accum_iter: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW(0.9, 0.95) with masked decay, matching the reference SSL optimiser
+    (k_fold_cross_valid_combined_brats.py:168-169), plus optional global-norm
+    clipping and gradient accumulation (`accum_iter`, train_one_epoch.py:70-74)."""
+    tx = optax.adamw(
+        learning_rate, b1=b1, b2=b2, weight_decay=weight_decay, mask=weight_decay_mask
+    )
+    if clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
+    return tx
+
+
+def _vit_layer_id(path: tuple, num_layers: int) -> int:
+    """Layer id for a flax param path, following reference lr_decay.py:64-75."""
+    name = path[0] if path else ""
+    if name in ("cls_token", "pos_embed") or name.startswith("patch_embed"):
+        return 0
+    if name.startswith("blocks_"):
+        return int(name.split("_")[1]) + 1
+    return num_layers
+
+
+def layerwise_lr_decay_mask(params, depth: int, layer_decay: float = 0.75) -> Any:
+    """Per-leaf LR scale tree: layer_decay^(num_layers - layer_id).
+
+    num_layers = depth + 1 (reference lr_decay.py:23-25). Multiply gradients by
+    this tree via `scale_by_layer` below, which composes with any optimiser.
+    """
+    num_layers = depth + 1
+
+    def scale_for(path):
+        keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+        lid = _vit_layer_id([str(k) for k in keys], num_layers)
+        return layer_decay ** (num_layers - lid)
+
+    return jax.tree_util.tree_map_with_path(lambda path, p: scale_for(path), params)
+
+
+def scale_by_trees(scales) -> optax.GradientTransformation:
+    """Multiply updates leaf-wise by a static tree of scalars (the optax
+    equivalent of per-param-group lr_scale, reference lr_sched.py:16-20)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_layerwise_adamw(
+    params,
+    depth: int,
+    learning_rate: optax.Schedule | float,
+    weight_decay: float = 0.05,
+    layer_decay: float = 0.75,
+) -> optax.GradientTransformation:
+    """AdamW with BEiT layer-wise LR decay (fine-tune path,
+    post_training_utils/fine_tune_epoch.py:358-363)."""
+    scales = layerwise_lr_decay_mask(params, depth, layer_decay)
+    return optax.chain(
+        optax.adamw(learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask=weight_decay_mask),
+        scale_by_trees(scales),
+    )
+
+
+def make_lars(
+    learning_rate: optax.Schedule | float,
+    weight_decay: float = 1e-6,
+    momentum: float = 0.9,
+    trust_coefficient: float = 0.001,
+) -> optax.GradientTransformation:
+    """LARS: layer-wise trust-ratio SGD, skipping <=1-D params, matching the
+    MoCo-v3 optimiser (moco/optimizer.py:10-43)."""
+    return optax.lars(
+        learning_rate,
+        weight_decay=weight_decay,
+        weight_decay_mask=weight_decay_mask,
+        trust_coefficient=trust_coefficient,
+        trust_ratio_mask=weight_decay_mask,
+        momentum=momentum,
+    )
+
+
+def make_sgd(learning_rate, momentum: float = 0.9) -> optax.GradientTransformation:
+    """Plain SGD+momentum for the linear probe
+    (k_fold_cross_valid_linear_projection.py:270-272)."""
+    return optax.sgd(learning_rate, momentum=momentum)
