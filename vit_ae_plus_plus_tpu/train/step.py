@@ -85,7 +85,8 @@ def make_train_step(
         state = state.replace(batch_stats=new_bs)
         return state, metrics
 
-    if mesh is not None:
+    if mesh is not None and mesh.shape.get("model", 1) == 1:
+        # pure data parallel: batch over 'data', state replicated
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         return jax.jit(
@@ -94,6 +95,8 @@ def make_train_step(
             out_shardings=(repl, repl),
             donate_argnums=(0,) if donate else (),
         )
+    # single device, or tensor parallel: shardings inferred from the committed
+    # placements (see parallel/tp.py shard_train_state)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
