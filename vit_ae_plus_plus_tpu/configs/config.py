@@ -128,6 +128,9 @@ class TrainConfig:
     donate_state: bool = True
     mesh_shape: Tuple[int, ...] = (1,)  # (data,) mesh; >1 shards the batch
     start_epoch: int = 0
+    resume: bool = False  # restore params+optimiser+epoch from the fold's
+    # periodic checkpoint (reference --resume, misc.py:315-329)
+    profile_dir: Optional[str] = None  # jax.profiler trace of one steady epoch
     output_dir: str = "output_dir/k_fold"
     log_dir: str = "output_dir/k_fold"
 

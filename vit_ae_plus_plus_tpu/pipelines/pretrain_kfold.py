@@ -107,7 +107,21 @@ def pretrain_one_fold(
     min_loss, best_params = float("inf"), None
     t_start = time.time()
 
-    for epoch in range(train_cfg.start_epoch, train_cfg.epochs):
+    # full-state resume (reference --resume, utils/misc.py:315-329): restores
+    # params + optimiser + step from the newest periodic checkpoint
+    start_epoch = train_cfg.start_epoch
+    resume_mgr = None
+    if getattr(train_cfg, "resume", False):
+        resume_mgr = CheckpointManager(os.path.join(ckpt_dir, "resume"), max_to_keep=1)
+        state, restored_epoch = resume_mgr.restore(state)
+        if restored_epoch:
+            start_epoch = restored_epoch + 1
+            print(f"Resumed fold {fold_idx} at epoch {start_epoch}")
+
+    # optional profiler trace of the steady-state steps (SURVEY.md §5.1)
+    profile_dir = getattr(train_cfg, "profile_dir", None)
+
+    for epoch in range(start_epoch, train_cfg.epochs):
         edge_w = (
             0.01 * (1 - epoch / train_cfg.epochs) if train_cfg.use_edge_map else 0.0
         )
@@ -115,6 +129,9 @@ def pretrain_one_fold(
         logger = MetricLogger()
         sums = None
         count = 0
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)
+        epoch_t0 = time.time()
         for aug, orig, _ in logger.log_every(loader, header=f"Fold {fold_idx} Epoch [{epoch}]"):
             if mesh is not None:
                 aug, orig = shard_batch((aug, orig), mesh)
@@ -122,6 +139,12 @@ def pretrain_one_fold(
             sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
             count += 1
         stats = {k: float(v) / count for k, v in jax.device_get(sums).items()}
+        epoch_time = time.time() - epoch_t0  # device_get above synced the stream
+        stats["volumes_per_sec"] = count * train_cfg.batch_size * (
+            mesh.shape["data"] if mesh is not None else 1
+        ) / epoch_time
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
         stats["lr"] = float(schedule((epoch + 1) * steps_per_epoch - 1))
         logger.update(**stats)
         if tb is not None:
@@ -144,6 +167,8 @@ def pretrain_one_fold(
             save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"), best_params)
         jsonl.write({**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch,
                      "fold": fold_idx})
+        if resume_mgr is not None:
+            resume_mgr.save(epoch, state, epoch=epoch)
 
     print(f"Fold {fold_idx}: trained {train_cfg.epochs} epochs in "
           f"{time.time() - t_start:.0f}s, min loss {min_loss:.4f}")
