@@ -36,6 +36,23 @@ def all_items(dataset) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack([it[0] for it in items]), np.asarray([it[2] for it in items])
 
 
+class ConcatDataset:
+    """Concatenation of datasets with offset indexing (torch ConcatDataset
+    equivalent, used by the EGD combined pretraining —
+    reference k_fold_cross_valid_combined_egd.py:133-137)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, item):
+        ds_idx = int(np.searchsorted(self._offsets, item, side="right") - 1)
+        return self.datasets[ds_idx][item - int(self._offsets[ds_idx])]
+
+
 class Loader:
     """Iterable over (augmented, original, labels) numpy batches."""
 

@@ -228,11 +228,30 @@ def pretrain_kfold(
 ) -> Dict:
     """Full combined pipeline over all folds."""
     transforms = default_ssl_transforms()
-    dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
+    if data_cfg.name == "egd":
+        # EGD combined semantics (reference k_fold_…_egd.py:103-137): k-fold
+        # over the LABELED pool; pretraining sees labeled-train + the whole
+        # unlabeled SSL pool concatenated with offset ids; features come from
+        # the labeled pool only.
+        labeled_aug = get_dataset("egd", "test", data_cfg, transforms=transforms,
+                                  use_z_score=data_cfg.use_z_score)
+        labeled_no_aug = get_dataset("egd", "test", data_cfg, transforms=None,
+                                     use_z_score=data_cfg.use_z_score)
+        ssl_aug = get_dataset("egd", "ssl", data_cfg, transforms=transforms,
                               use_z_score=data_cfg.use_z_score)
-    dataset_no_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=None,
-                                 use_z_score=data_cfg.use_z_score)
-    labels = all_labels(dataset_aug)
+        from vit_ae_plus_plus_tpu.data.loader import ConcatDataset
+
+        dataset_aug = ConcatDataset([labeled_aug, ssl_aug])
+        dataset_no_aug = labeled_no_aug
+        labels = all_labels(labeled_no_aug)
+        ssl_offset_ids = np.arange(len(ssl_aug)) + len(labeled_aug)
+    else:
+        dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
+                                  use_z_score=data_cfg.use_z_score)
+        dataset_no_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=None,
+                                     use_z_score=data_cfg.use_z_score)
+        labels = all_labels(dataset_aug)
+        ssl_offset_ids = None
     fold_list = folds if folds is not None else kfold_indices(
         labels, n_splits, index_dir=os.path.join(work_dir, "k_fold", "indices_file")
     )
@@ -245,8 +264,12 @@ def pretrain_kfold(
     results = {}
     feat_dir = os.path.join(work_dir, "ssl_features_dir")
     for fold_idx, (train_ids, test_ids) in enumerate(fold_list):
+        pretrain_ids = (
+            np.concatenate([train_ids, ssl_offset_ids])
+            if ssl_offset_ids is not None else train_ids
+        )
         mae_cfg, best_params, stats = pretrain_one_fold(
-            fold_idx, train_ids, dataset_aug, train_cfg, model_name, data_cfg, work_dir,
+            fold_idx, pretrain_ids, dataset_aug, train_cfg, model_name, data_cfg, work_dir,
             mesh=mesh, tb=tb,
         )
         extract_fold_features(
