@@ -32,6 +32,7 @@ class ViTConfig:
     attn_drop_rate: float = 0.0
     dtype: str = "float32"  # compute dtype; params stay float32
     attn_impl: str = "auto"
+    remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     @property
     def grid_size(self) -> int:
@@ -66,6 +67,7 @@ class MAEConfig:
     # reference vit_autoenc.py:253-262 builds it, :270-285 never applies it)
     dtype: str = "float32"
     attn_impl: str = "auto"
+    remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     @property
     def grid_size(self) -> int:

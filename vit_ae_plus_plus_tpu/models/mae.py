@@ -48,6 +48,7 @@ class MaskedAutoencoderViT3D(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = _dt(c.dtype)
+        block_cls = nn.remat(Block) if c.remat_blocks else Block
         grid = round(c.num_patches ** (1 / 3))
 
         # encoder
@@ -57,7 +58,8 @@ class MaskedAutoencoderViT3D(nn.Module):
             get_3d_sincos_pos_embed(c.embed_dim, grid, cls_token=True)[None], jnp.float32
         )
         self.blocks = [
-            Block(c.num_heads, c.mlp_ratio, attn_impl=c.attn_impl, dtype=dtype, name=f"blocks_{i}")
+            block_cls(c.num_heads, c.mlp_ratio, attn_impl=c.attn_impl, dtype=dtype,
+                      name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
@@ -69,7 +71,7 @@ class MaskedAutoencoderViT3D(nn.Module):
             get_3d_sincos_pos_embed(c.decoder_embed_dim, grid, cls_token=True)[None], jnp.float32
         )
         self.decoder_blocks = [
-            Block(
+            block_cls(
                 c.decoder_num_heads,
                 c.mlp_ratio,
                 attn_impl=c.attn_impl,

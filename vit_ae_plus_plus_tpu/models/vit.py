@@ -132,11 +132,12 @@ class VisionTransformer3D(nn.Module):
 
     def setup(self):
         c = self.cfg
+        block_cls = nn.remat(Block) if c.remat_blocks else Block
         self.patch_embed = PatchEmbed3D(c.patch_size, c.embed_dim, dtype=_dt(c.dtype))
         self.cls_token = self.param("cls_token", token_init, (1, 1, c.embed_dim))
         self.pos_embed = self.param("pos_embed", token_init, (1, c.num_patches + 1, c.embed_dim))
         self.blocks = [
-            Block(
+            block_cls(
                 c.num_heads,
                 c.mlp_ratio,
                 attn_impl=c.attn_impl,

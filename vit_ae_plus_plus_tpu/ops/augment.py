@@ -1,0 +1,141 @@
+"""On-device data augmentation (jit-able, vmapped per sample).
+
+The reference augments on the host CPU through torchio inside DataLoader
+workers — the likely input-bound stage at TPU step rates (SURVEY.md §7 "hard
+parts"). These are drop-in device equivalents of data/transforms.py with the
+same parameter distributions:
+
+- random_affine_3d: per-axis scale U(0.9, 1.1) + rotation U(-10deg, 10deg),
+  trilinear resampling, zero padding (torchio RandomAffine defaults);
+- random_noise: gaussian, std ~ U(0, 0.1);
+- random_gamma: exp(U(-0.3, 0.3)) on min-max-rescaled intensities.
+
+`device_augment_batch` composes all three per sample and can be fused INTO the
+jitted train step (no host round-trip, no worker processes). Normalisation
+(`znorm_volume`) reproduces the datasets' post-augmentation z-score.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample (C, S, S, S) at real-valued coords (3, N); zeros outside."""
+    c, sz, sy, sx = vol.shape
+    z, y, x = coords
+    z0, y0, x0 = jnp.floor(z).astype(jnp.int32), jnp.floor(y).astype(jnp.int32), jnp.floor(
+        x
+    ).astype(jnp.int32)
+    fz, fy, fx = z - z0, y - y0, x - x0
+
+    def gather(zi, yi, xi):
+        valid = (
+            (zi >= 0) & (zi < sz) & (yi >= 0) & (yi < sy) & (xi >= 0) & (xi < sx)
+        )
+        zi = jnp.clip(zi, 0, sz - 1)
+        yi = jnp.clip(yi, 0, sy - 1)
+        xi = jnp.clip(xi, 0, sx - 1)
+        vals = vol[:, zi, yi, xi]  # (C, N)
+        return jnp.where(valid[None, :], vals, 0.0)
+
+    out = (
+        gather(z0, y0, x0) * ((1 - fz) * (1 - fy) * (1 - fx))[None]
+        + gather(z0, y0, x0 + 1) * ((1 - fz) * (1 - fy) * fx)[None]
+        + gather(z0, y0 + 1, x0) * ((1 - fz) * fy * (1 - fx))[None]
+        + gather(z0, y0 + 1, x0 + 1) * ((1 - fz) * fy * fx)[None]
+        + gather(z0 + 1, y0, x0) * (fz * (1 - fy) * (1 - fx))[None]
+        + gather(z0 + 1, y0, x0 + 1) * (fz * (1 - fy) * fx)[None]
+        + gather(z0 + 1, y0 + 1, x0) * (fz * fy * (1 - fx))[None]
+        + gather(z0 + 1, y0 + 1, x0 + 1) * (fz * fy * fx)[None]
+    )
+    # scipy mode='constant' semantics (the host path): a sample point outside
+    # the domain is cval, no partial boundary blending
+    in_domain = (
+        (z >= 0) & (z <= sz - 1) & (y >= 0) & (y <= sy - 1) & (x >= 0) & (x <= sx - 1)
+    )
+    return jnp.where(in_domain[None, :], out, 0.0)
+
+
+def _rotation_matrix(angles: jnp.ndarray) -> jnp.ndarray:
+    """Rz(a0) @ Ry(a1) @ Rx(a2)-style composition matching
+    data/transforms.py RandomAffine3D (axis order 0, 1, 2)."""
+
+    def rot(axis, a):
+        c_, s_ = jnp.cos(a), jnp.sin(a)
+        if axis == 0:
+            return jnp.array([[1, 0, 0], [0, c_, -s_], [0, s_, c_]])
+        if axis == 1:
+            return jnp.array([[c_, 0, s_], [0, 1, 0], [-s_, 0, c_]])
+        return jnp.array([[c_, -s_, 0], [s_, c_, 0], [0, 0, 1]])
+
+    return rot(0, angles[0]) @ rot(1, angles[1]) @ rot(2, angles[2])
+
+
+def random_affine_3d(
+    key: jax.Array, vol: jnp.ndarray, scales: float = 0.1, degrees: float = 10.0
+) -> jnp.ndarray:
+    """(C, S, S, S) -> same shape; output voxel pulls from mat @ (p - c) + c."""
+    k1, k2 = jax.random.split(key)
+    scale = jax.random.uniform(k1, (3,), minval=1 - scales, maxval=1 + scales)
+    angles = jax.random.uniform(
+        k2, (3,), minval=-degrees, maxval=degrees
+    ) * (math.pi / 180.0)
+    mat = _rotation_matrix(angles) @ jnp.diag(1.0 / scale)
+
+    shape = vol.shape[1:]
+    center = (jnp.asarray(shape, jnp.float32) - 1) / 2.0
+    grid = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in shape], indexing="ij"),
+        axis=0,
+    ).reshape(3, -1)
+    src = mat @ (grid - center[:, None]) + center[:, None]
+    out = trilinear_sample(vol, src)
+    return out.reshape(vol.shape)
+
+
+def random_noise(key: jax.Array, vol: jnp.ndarray, std: float = 0.1) -> jnp.ndarray:
+    k1, k2 = jax.random.split(key)
+    sigma = jax.random.uniform(k1, (), minval=0.0, maxval=std)
+    return vol + sigma * jax.random.normal(k2, vol.shape, vol.dtype)
+
+
+def random_gamma(
+    key: jax.Array, vol: jnp.ndarray, log_gamma: Tuple[float, float] = (-0.3, 0.3)
+) -> jnp.ndarray:
+    gamma = jnp.exp(jax.random.uniform(key, (), minval=log_gamma[0], maxval=log_gamma[1]))
+    vmin, vmax = jnp.min(vol), jnp.max(vol)
+    unit = (vol - vmin) / jnp.maximum(vmax - vmin, 1e-8)
+    return unit**gamma * (vmax - vmin) + vmin
+
+
+def znorm_volume(vol: jnp.ndarray) -> jnp.ndarray:
+    """Whole-volume z-score (population variance), matching
+    data/brats.py normalize_volume(use_z_score=True)."""
+    return (vol - vol.mean()) / jnp.sqrt(vol.var())
+
+
+def augment_one(key: jax.Array, vol: jnp.ndarray) -> jnp.ndarray:
+    """The SSL policy: affine -> noise -> gamma (k_fold_…_brats.py:93-97)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    vol = random_affine_3d(k1, vol)
+    vol = random_noise(k2, vol)
+    vol = random_gamma(k3, vol)
+    return vol
+
+
+def device_augment_batch(key: jax.Array, raw_batch: jnp.ndarray):
+    """(B, C, S, S, S) raw volumes -> (augmented_znormed, original_znormed).
+
+    Fuses the entire (augment, normalise both views) data path into XLA —
+    the device-side replacement for the host loader's per-sample CPU work.
+    """
+    keys = jax.random.split(key, raw_batch.shape[0])
+    augmented = jax.vmap(augment_one)(keys, raw_batch)
+    view1 = jax.vmap(znorm_volume)(augmented)
+    view2 = jax.vmap(znorm_volume)(raw_batch)
+    return view1, view2
