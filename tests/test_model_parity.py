@@ -137,3 +137,34 @@ def test_vit_head_applies_after_pool():
     variables = model.init({"params": jax.random.PRNGKey(0)}, vol)
     logits = model.apply(variables, vol)
     assert logits.shape == (2, 2)
+
+
+def test_contrastive_batched_views_equal_sequential_passes():
+    """The 2B-batched encoder call must equal two sequential per-view passes
+    (the trunk has no batch-coupled ops)."""
+    cfg = MAEConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=24, depth=1, num_heads=3,
+        decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2, contrastive=True,
+    )
+    model = MaskedAutoencoderViT3D(cfg)
+    v1 = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16, 16))
+    v2 = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16, 16, 16))
+    noise = jax.random.uniform(jax.random.PRNGKey(3), (4, cfg.num_patches))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(9)}, v1, v2
+    )
+    out, _ = model.apply(variables, v1, v2, mask_ratio=0.75, noise=noise,
+                         mutable=["batch_stats"])
+    # sequential per-view encoder calls with the matching noise slices
+    lat1, mask1, ids1 = model.apply(
+        variables, v1, 0.75, noise[:2], method=model.forward_encoder
+    )
+    lat2, _, _ = model.apply(
+        variables, v2, 0.75, noise[2:], method=model.forward_encoder
+    )
+    np.testing.assert_allclose(np.asarray(out["latent"]), np.asarray(lat1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["mask"]), np.asarray(mask1))
+    np.testing.assert_allclose(
+        np.asarray(out["z2"]).reshape(lat2.shape), np.asarray(lat2), rtol=1e-5, atol=1e-6
+    )

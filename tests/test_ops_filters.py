@@ -90,3 +90,21 @@ def test_gaussian_blur_matches_torch_dense(c):
     got = np.asarray(gaussian_blur_3d(jnp.asarray(x), sigma=2.0))
     want = torch_gaussian(x, 2.0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_and_conv_paths_agree():
+    """The MXU banded-matmul fast path equals the lax.conv reference path."""
+    from vit_ae_plus_plus_tpu.ops.filters import (
+        gaussian_blur_3d_conv,
+        sobel_edges_3d_conv,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 2, 12, 12, 12)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sobel_edges_3d(x)), np.asarray(sobel_edges_3d_conv(x)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gaussian_blur_3d(x)), np.asarray(gaussian_blur_3d_conv(x)),
+        rtol=1e-4, atol=1e-5,
+    )

