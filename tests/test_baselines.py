@@ -125,3 +125,28 @@ def test_mixup_with_soft_ce():
     assert mx.shape == x.shape and my.shape == y.shape
     # each mixed target row still sums to 1
     np.testing.assert_allclose(np.asarray(my.sum(axis=1)), np.ones(4), rtol=1e-6)
+
+
+def test_vit_contrastive_two_view_forward_and_loss():
+    """Stage-2 contrastive ViT (reference vit.py:301-337 + legacy 2-view loop
+    train_one_epoch.py:117-181)."""
+    from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3DContrastive
+    from vit_ae_plus_plus_tpu.ops import negative_cosine_loss
+
+    cfg = ViTConfig(volume_size=16, patch_size=4, in_chans=1, embed_dim=24, depth=1,
+                    num_heads=3, num_classes=8, global_pool=True)
+    model = VisionTransformer3DContrastive(cfg, use_proj=True)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 16, 16, 16))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 16, 16, 16))
+    variables = model.init({"params": jax.random.PRNGKey(2)}, x1, x2)
+
+    def loss_fn(params):
+        (p1, p2, z1, z2), mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x1, x2, train=True, mutable=["batch_stats"],
+        )
+        return negative_cosine_loss(p1, p2, z1, z2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert -1.0 <= float(loss) <= 1.0
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in jax.tree.leaves(grads["trunk"]))

@@ -30,6 +30,21 @@ def all_labels(dataset) -> np.ndarray:
     return np.full(len(dataset), -100)
 
 
+def process_local_indices(indices) -> np.ndarray:
+    """Shard a global index list across hosts: each process loads only its
+    contiguous slice (the multi-host replacement for DistributedSampler —
+    reference misc.py:216-248 scaffolding)."""
+    import jax
+
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return np.asarray(indices)
+    idx = np.asarray(indices)
+    per = len(idx) // n_proc
+    r = jax.process_index()
+    return idx[r * per : (r + 1) * per]
+
+
 def all_items(dataset) -> Tuple[np.ndarray, np.ndarray]:
     """(stacked_augmented, labels) — reference-compatible materialisation."""
     items = [dataset[i] for i in range(len(dataset))]

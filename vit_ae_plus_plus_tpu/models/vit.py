@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -225,6 +226,31 @@ class MLPHead(nn.Module):
                 dtype=jnp.float32,
             )(x)
         return x
+
+
+class VisionTransformer3DContrastive(nn.Module):
+    """Classifier trunk + SimSiam heads for two-view stage-2 training.
+
+    Parity: reference model/vit.py:301-337 — z = trunk(x) (head applied when
+    num_classes > 0, as the reference's forward calls the full forward),
+    optional projector, predictor; returns (p1, p2, stop_grad(z1),
+    stop_grad(z2)). Trained with the legacy 2-view loop's negative-cosine
+    objective (utils/train_one_epoch.py:117-181).
+    """
+
+    cfg: ViTConfig
+    use_proj: bool = False
+
+    def setup(self):
+        self.trunk = VisionTransformer3D(self.cfg)
+        dim = self.cfg.num_classes if self.cfg.num_classes > 0 else self.cfg.embed_dim
+        self.heads = ContrastiveHeads(dim, use_proj=self.use_proj, dtype=_dt(self.cfg.dtype))
+
+    def __call__(self, x1, x2, train: bool = True):
+        z1 = self.trunk(x1, train=train)
+        z2 = self.trunk(x2, train=train)
+        p1, p2, z1, z2 = self.heads(z1, z2, train=train, apply_proj=self.use_proj)
+        return p1, p2, jax.lax.stop_gradient(z1), jax.lax.stop_gradient(z2)
 
 
 class ContrastiveHeads(nn.Module):
