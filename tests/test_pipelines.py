@@ -87,3 +87,17 @@ def test_loader_two_crops_and_prefetch(synthetic_brats):
     assert len(batches) == len(ds) // 4
     a, b, labs = batches[0]
     assert a.shape == (4, 1, 16, 16, 16) and labs.shape == (4,)
+
+
+def test_pretrain_with_device_augment(synthetic_brats, tmp_path):
+    """Device-side augmentation path: raw host loading, on-device
+    affine/noise/gamma + z-score."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", device_augment=True)
+    results = pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
+                             model_name="mae_vit_tiny_patch4", n_splits=2)
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())

@@ -127,6 +127,8 @@ class TrainConfig:
     norm_pix_loss: bool = False
     # tpu execution
     compute_dtype: str = "float32"  # "bfloat16" for max throughput
+    device_augment: bool = False  # run affine/noise/gamma on-device (ops/augment.py)
+    # instead of in host loader threads (removes the input-bound stage)
     donate_state: bool = True
     mesh_shape: Tuple[int, ...] = (1,)  # (data,) mesh; >1 shards the batch
     start_epoch: int = 0

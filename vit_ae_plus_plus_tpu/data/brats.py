@@ -42,6 +42,7 @@ class BraTSDataset:
         transform: Optional[Transform] = None,
         use_z_score: bool = False,
         seed: int = 0,
+        raw: bool = False,
     ):
         if mode not in ("train", "val", "test", "whole"):
             raise ValueError(f"invalid mode {mode!r}")
@@ -50,6 +51,7 @@ class BraTSDataset:
         self.labels = np.load(label_path) if os.path.exists(label_path) else None
         self.transform = transform
         self.use_z_score = use_z_score
+        self.raw = raw  # skip normalisation+augmentation: device-side augment path
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -60,6 +62,9 @@ class BraTSDataset:
         volume = np.ascontiguousarray(
             np.asarray(self.data[item], dtype=np.float32).transpose(3, 0, 1, 2)
         )
+        if self.raw:
+            label = int(self.labels[item]) if self.labels is not None else -100
+            return volume, volume, label
         original = normalize_volume(volume, self.use_z_score)
         if self.transform is not None:
             volume = self.transform(volume, self._rng)

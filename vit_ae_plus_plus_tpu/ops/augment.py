@@ -119,6 +119,12 @@ def znorm_volume(vol: jnp.ndarray) -> jnp.ndarray:
     return (vol - vol.mean()) / jnp.sqrt(vol.var())
 
 
+def minmax_volume(vol: jnp.ndarray) -> jnp.ndarray:
+    """Min-max to [-1, 1], matching normalize_volume(use_z_score=False)."""
+    vmin, vmax = jnp.min(vol), jnp.max(vol)
+    return 2 * (vol - vmin) / jnp.maximum(vmax - vmin, 1e-8) - 1
+
+
 def augment_one(key: jax.Array, vol: jnp.ndarray) -> jnp.ndarray:
     """The SSL policy: affine -> noise -> gamma (k_fold_…_brats.py:93-97)."""
     k1, k2, k3 = jax.random.split(key, 3)
@@ -128,14 +134,15 @@ def augment_one(key: jax.Array, vol: jnp.ndarray) -> jnp.ndarray:
     return vol
 
 
-def device_augment_batch(key: jax.Array, raw_batch: jnp.ndarray):
-    """(B, C, S, S, S) raw volumes -> (augmented_znormed, original_znormed).
+def device_augment_batch(key: jax.Array, raw_batch: jnp.ndarray, use_z_score: bool = True):
+    """(B, C, S, S, S) raw volumes -> (augmented_normed, original_normed).
 
     Fuses the entire (augment, normalise both views) data path into XLA —
     the device-side replacement for the host loader's per-sample CPU work.
     """
+    norm = znorm_volume if use_z_score else minmax_volume
     keys = jax.random.split(key, raw_batch.shape[0])
     augmented = jax.vmap(augment_one)(keys, raw_batch)
-    view1 = jax.vmap(znorm_volume)(augmented)
-    view2 = jax.vmap(znorm_volume)(raw_batch)
+    view1 = jax.vmap(norm)(augmented)
+    view2 = jax.vmap(norm)(raw_batch)
     return view1, view2

@@ -67,6 +67,16 @@ def pretrain_one_fold(
     )
     model = build_model(mae_cfg)
 
+    device_aug = None
+    if train_cfg.device_augment:
+        # host loader just reads raw volumes; the (augment + normalise)
+        # pipeline runs on-device (ops/augment.py) right before the step
+        from vit_ae_plus_plus_tpu.ops.augment import device_augment_batch
+
+        device_aug = jax.jit(
+            lambda key, raw: device_augment_batch(key, raw, data_cfg.use_z_score)
+        )
+
     loader = Loader(
         dataset_aug, train_cfg.batch_size, indices=train_ids, shuffle=True, drop_last=True,
         seed=train_cfg.seed,
@@ -135,6 +145,8 @@ def pretrain_one_fold(
         for aug, orig, _ in logger.log_every(loader, header=f"Fold {fold_idx} Epoch [{epoch}]"):
             if mesh is not None:
                 aug, orig = shard_batch((aug, orig), mesh)
+            if device_aug is not None:
+                aug, orig = device_aug(jax.random.fold_in(rng, count), jnp.asarray(aug))
             state, metrics = step(state, aug, orig, rng, edge_w)
             sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
             count += 1
@@ -246,11 +258,19 @@ def pretrain_kfold(
         labels = all_labels(labeled_no_aug)
         ssl_offset_ids = np.arange(len(ssl_aug)) + len(labeled_aug)
     else:
-        dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
-                                  use_z_score=data_cfg.use_z_score)
+        if train_cfg.device_augment:
+            # host loader streams RAW volumes; augmentation+normalisation run
+            # on-device (BraTS only for now — EGD needs per-channel z-score)
+            from vit_ae_plus_plus_tpu.data import BraTSDataset
+
+            dataset_aug = BraTSDataset(data_cfg.base_path, "whole", raw=True)
+        else:
+            dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
+                                      transforms=transforms,
+                                      use_z_score=data_cfg.use_z_score)
         dataset_no_aug = get_dataset(data_cfg.name, "whole", data_cfg, transforms=None,
                                      use_z_score=data_cfg.use_z_score)
-        labels = all_labels(dataset_aug)
+        labels = all_labels(dataset_no_aug)
         ssl_offset_ids = None
     fold_list = folds if folds is not None else kfold_indices(
         labels, n_splits, index_dir=os.path.join(work_dir, "k_fold", "indices_file")
