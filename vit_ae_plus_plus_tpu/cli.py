@@ -149,7 +149,6 @@ def main(argv=None):
         )
         import numpy as np
         import jax
-        import jax.numpy as jnp
         from vit_ae_plus_plus_tpu.data import get_dataset
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
         from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template

@@ -10,8 +10,7 @@ onto the typed dataclass configs.
 from __future__ import annotations
 
 import configparser
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from vit_ae_plus_plus_tpu.configs.config import DataConfig, TrainConfig
 

@@ -16,7 +16,7 @@ overlaps them with device compute.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from scipy import ndimage

@@ -30,7 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Tuned on TPU v5e (see BASELINE.md): BQ=256 amortises per-program overhead;
 # the key axis uses a SINGLE block whenever the padded sequence fits in VMEM

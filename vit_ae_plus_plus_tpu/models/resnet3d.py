@@ -12,7 +12,7 @@ contract; BatchNorm statistics in f32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -18,8 +18,6 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,7 +15,7 @@ import flax.linen as nn
 
 from vit_ae_plus_plus_tpu.configs import MAEConfig, ViTConfig
 from vit_ae_plus_plus_tpu.models.mae import MaskedAutoencoderViT3D
-from vit_ae_plus_plus_tpu.models.vit import ContrastiveHeads, VisionTransformer3D
+from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D
 
 
 def mae_vit_base_patch16(**kw) -> MAEConfig:

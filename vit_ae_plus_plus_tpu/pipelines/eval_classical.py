@@ -13,7 +13,7 @@ performance").
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from sklearn.metrics import confusion_matrix, roc_auc_score

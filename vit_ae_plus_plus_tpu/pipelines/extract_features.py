@@ -10,13 +10,11 @@ pipelines.transfer), dump features/labels npy for the requested split(s);
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vit_ae_plus_plus_tpu.configs import DataConfig, MAEConfig
+from vit_ae_plus_plus_tpu.configs import DataConfig
 from vit_ae_plus_plus_tpu.data import Loader, get_dataset
 from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
 from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit

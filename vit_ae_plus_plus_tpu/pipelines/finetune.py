@@ -24,18 +24,15 @@ from __future__ import annotations
 import dataclasses
 import os
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from vit_ae_plus_plus_tpu.configs import ViTConfig
-from vit_ae_plus_plus_tpu.models import build_model
 from vit_ae_plus_plus_tpu.ops import soft_cross_entropy_with_weights
-from vit_ae_plus_plus_tpu.train import TrainState, create_train_state, warmup_cosine_schedule
-from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, weight_decay_mask
+from vit_ae_plus_plus_tpu.train import TrainState
 from vit_ae_plus_plus_tpu.utils.metrics import roc_auc
 
 

@@ -34,7 +34,6 @@ from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
 from vit_ae_plus_plus_tpu.train.checkpoint import save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_lars
-from vit_ae_plus_plus_tpu.train.step import make_feature_step
 
 
 @flax.struct.dataclass

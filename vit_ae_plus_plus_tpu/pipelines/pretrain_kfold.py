@@ -19,7 +19,6 @@ train_one_epoch.py:76,105).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Dict, Optional
@@ -41,7 +40,7 @@ from vit_ae_plus_plus_tpu.train import (
     make_train_step,
     warmup_cosine_schedule,
 )
-from vit_ae_plus_plus_tpu.train.checkpoint import CheckpointManager, save_params, load_params
+from vit_ae_plus_plus_tpu.train.checkpoint import CheckpointManager, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger, MetricLogger, TBWriter
 from vit_ae_plus_plus_tpu.train.step import make_feature_step
 

@@ -18,7 +18,6 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 from sklearn.model_selection import train_test_split
 
 from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
@@ -34,7 +33,7 @@ from vit_ae_plus_plus_tpu.pipelines.finetune import (
     make_supervised_steps,
 )
 from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
-from vit_ae_plus_plus_tpu.train import TrainState, create_train_state, warmup_cosine_schedule
+from vit_ae_plus_plus_tpu.train import TrainState, warmup_cosine_schedule
 from vit_ae_plus_plus_tpu.train.checkpoint import load_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd

@@ -15,13 +15,12 @@ Parity targets:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vit_ae_plus_plus_tpu.configs import MAEConfig
 from vit_ae_plus_plus_tpu.models import MaskedAutoencoderViT3D
 from vit_ae_plus_plus_tpu.ops import patchify, unpatchify
 

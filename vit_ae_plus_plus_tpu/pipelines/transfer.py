@@ -15,7 +15,7 @@ Two reference subtleties handled:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

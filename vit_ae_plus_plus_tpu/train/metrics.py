@@ -18,7 +18,7 @@ import json
 import os
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 
 class SmoothedValue:

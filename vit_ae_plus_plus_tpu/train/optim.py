@@ -13,7 +13,7 @@ Parity targets:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ The state is donated into the jitted step, so params update in place in HBM.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import flax.struct

@@ -16,8 +16,7 @@ gradient all-reduce over ICI — there is no hand-written communication
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
