@@ -1,0 +1,76 @@
+"""CLI argument surface + config.ini bridge."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from vit_ae_plus_plus_tpu import cli
+from vit_ae_plus_plus_tpu.configs.ini import bootstrap
+
+
+def test_cli_help_lists_all_subcommands(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--help"])
+    out = capsys.readouterr().out
+    for cmd in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "resnet-kfold",
+                "moco-kfold", "extract-features", "eval-classical", "sanity-viz",
+                "prepare-data"):
+        assert cmd in out
+
+
+def test_cli_prepare_data_and_pretrain_smoke(tmp_path):
+    rng = np.random.default_rng(0)
+    vols = tmp_path / "flair_all.npy"
+    labs = tmp_path / "label_all.npy"
+    # >= 20 samples: the stratified 90/10 then 90/10 splits need >= 2 per class
+    np.save(vols, rng.standard_normal((20, 16, 16, 16, 1)).astype(np.float32))
+    np.save(labs, np.array([0, 1] * 10))
+    out = tmp_path / "splits"
+    assert cli.main(["prepare-data", "brats", "--volumes", str(vols),
+                     "--labels", str(labs), "--out-dir", str(out)]) == 0
+    assert (out / "x_whole_ssl.npy").exists()
+    work = tmp_path / "run"
+    assert cli.main([
+        "pretrain-kfold", "--data-path", str(out), "--work-dir", str(work),
+        "--model", "mae_vit_tiny_patch4", "--volume-size", "16", "--patch-size", "4",
+        "--epochs", "1", "--n-splits", "2", "--batch-size", "4",
+        "--compute-dtype", "float32",
+    ]) == 0
+    assert (work / "ssl_features_dir" / "train_contrast_ssl_features_split_0.npy").exists()
+
+
+def test_ini_bootstrap_matches_reference_sections(tmp_path):
+    ini = tmp_path / "config.ini"
+    ini.write_text(textwrap.dedent("""
+        [DATASET]
+        name = egd
+        use_z_score = True
+        mode = whole
+        split = idh
+        num_classes = 2
+        in_channels = 4
+        volume_size = 96
+
+        [K_FOLD]
+        name = egd
+        epochs = 50
+        batch_size = 4
+        weight_decay = 0.05
+        start_epoch = 0
+        mask_ratio = 0.75
+        patch_size = 8
+        perceptual_weight = 0
+        use_proj = no
+        use_edge_map = yes
+        contr_weight = 0.001
+        output_dir = output_dir/k_fold_egd
+    """))
+    data_cfg, train_cfg, extras = bootstrap(str(ini), "K_FOLD")
+    assert data_cfg.name == "egd" and data_cfg.in_channels == 4
+    assert data_cfg.volume_size == 96 and data_cfg.use_z_score
+    assert train_cfg.epochs == 50 and train_cfg.batch_size == 4
+    assert train_cfg.mask_ratio == 0.75 and train_cfg.contr_weight == 0.001
+    assert train_cfg.use_edge_map is True and train_cfg.perceptual_weight == 0
+    assert extras["patch_size"] == 8 and extras["use_proj"] is False
