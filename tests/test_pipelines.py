@@ -101,3 +101,37 @@ def test_pretrain_with_device_augment(synthetic_brats, tmp_path):
     results = pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
                              model_name="mae_vit_tiny_patch4", n_splits=2)
     assert all(np.isfinite(r["min_loss"]) for r in results.values())
+
+
+def test_resnet_kfold_end_to_end(synthetic_brats, tmp_path):
+    from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    results = resnet_kfold(data_cfg, train_cfg, str(tmp_path / "w"), depth=10,
+                           n_splits=2, epochs=1)
+    assert set(results) == {0, 1}
+    for fold in results:
+        assert 0.0 <= results[fold]["best_roc"] <= 1.0
+        assert os.path.isdir(os.path.join(tmp_path, "w", "checkpoints",
+                                          f"best_ft_model_split{fold}"))
+
+
+def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    results = moco_kfold(
+        data_cfg, train_cfg, str(tmp_path / "w"), n_splits=2,
+        moco_dim=16, moco_mlp_dim=32, epochs=1, warmup_epochs=1,
+        vit_overrides=dict(patch_size=4, embed_dim=24, depth=1, num_heads=3),
+    )
+    assert set(results) == {0, 1}
+    for fold in results:
+        assert np.isfinite(results[fold]["min_loss"])
+        f = np.load(tmp_path / "w" / "ssl_features_dir"
+                    / f"train_contrast_ssl_features_split_{fold}.npy")
+        assert f.shape[1] == 24  # trunk cls-token feature width

@@ -117,6 +117,7 @@ def moco_kfold(
     warmup_epochs: int = 10,
     epochs: Optional[int] = None,
     folds=None,
+    vit_overrides: Optional[Dict] = None,
 ) -> Dict:
     epochs = epochs if epochs is not None else train_cfg.epochs
     transforms = default_ssl_transforms()
@@ -134,6 +135,7 @@ def moco_kfold(
     vit_cfg = ViTConfig(
         volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
         num_classes=0, global_pool=False, dtype=train_cfg.compute_dtype,
+        **(vit_overrides or {}),
     )
     model = MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
 
