@@ -49,7 +49,7 @@ def probe_kfold(
     fix_backbone: bool = True,
     use_mixup: bool = False,
     class_weights: Optional[np.ndarray] = None,
-    blr: float = 0.1,
+    blr: float = 1e-3,  # reference linear_projection.py:63 default
     layer_decay: float = 0.75,
     folds=None,
     epochs: Optional[int] = None,
