@@ -76,9 +76,12 @@ def pretrain_one_fold(
             lambda key, raw: device_augment_batch(key, raw, data_cfg.use_z_score)
         )
 
+    from vit_ae_plus_plus_tpu.data.loader import process_local_indices
+
     loader = Loader(
-        dataset_aug, train_cfg.batch_size, indices=train_ids, shuffle=True, drop_last=True,
-        seed=train_cfg.seed,
+        dataset_aug, train_cfg.batch_size,
+        indices=process_local_indices(train_ids),  # per-host shard (multi-host)
+        shuffle=True, drop_last=True, seed=train_cfg.seed,
     )
     steps_per_epoch = len(loader)
     n_data = mesh.shape["data"] if mesh is not None else 1
