@@ -54,8 +54,11 @@ _NEG_INF = -1e30
 
 
 def _mask_last_block(s, ik, block_k, kv_len):
-    """-inf the padded key columns; static no-op except on the ragged final
-    block (saves a VPU pass per clean block)."""
+    """-inf the padded key columns. No-op for statically-clean blocks (the
+    fori_loop prefixes only ever see clean blocks; the ragged tail is always
+    invoked with a static python index)."""
+    if not isinstance(ik, int):
+        return s  # traced index -> guaranteed clean prefix block
     first = ik * block_k
     if first + block_k <= kv_len:
         return s
@@ -89,10 +92,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
     else:
-        acc = jnp.zeros((bq, d), jnp.float32)
-        m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-        l = jnp.zeros((bq, 1), jnp.float32)
-        for ik in range(nk):  # static unroll
+        # fori_loop over the clean prefix (no masking, buffers reused), then
+        # one static final iteration that handles the ragged tail
+        def online(ik, acc, m, l):
             s, v = load(ik)
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m - m_new)
@@ -101,7 +103,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
             acc = acc * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            m = m_new
+            return acc, m_new, l
+
+        acc = jnp.zeros((bq, d), jnp.float32)
+        m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(
+            0, nk - 1, lambda ik, c: online(ik, *c), (acc, m, l)
+        )
+        acc, m, l = online(nk - 1, acc, m, l)
 
     o_ref[:] = (acc / l).astype(o_ref.dtype)
     lse_ref[:] = m + jnp.log(l)  # (BQ, 1)
@@ -142,7 +152,7 @@ def _dkv_kernel(
     v = v_ref[:].astype(jnp.float32)
     nq = q_ref.shape[0] // block_q
 
-    def body(iq, carry):
+    def body(iq, carry, ragged):
         dk, dv = carry
         q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
@@ -151,9 +161,11 @@ def _dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        # mask padded queries: their p rows must be 0 so they contribute nothing
-        q_idx = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        p = jnp.where(q_idx < q_len, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)
+        if ragged:
+            # final q block: padded query rows contribute nothing
+            q_idx = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            p = jnp.where(q_idx < q_len, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -166,9 +178,12 @@ def _dkv_kernel(
         )
         return dk, dv
 
-    dk0 = jnp.zeros(k.shape, jnp.float32)
-    dv0 = jnp.zeros(v.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    init = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    ragged_tail = (nq * block_q) > q_len
+    dk, dv = jax.lax.fori_loop(
+        0, nq - 1, lambda iq, c: body(iq, c, False), init
+    )
+    dk, dv = body(nq - 1, (dk, dv), ragged_tail)
     dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
