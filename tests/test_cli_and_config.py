@@ -74,3 +74,38 @@ def test_ini_bootstrap_matches_reference_sections(tmp_path):
     assert train_cfg.mask_ratio == 0.75 and train_cfg.contr_weight == 0.001
     assert train_cfg.use_edge_map is True and train_cfg.perceptual_weight == 0
     assert extras["patch_size"] == 8 and extras["use_proj"] is False
+
+
+def test_cli_extract_and_eval_classical(tmp_path):
+    """extract-features from a pretrained checkpoint + classical eval on the
+    pretrain pipeline's per-fold features."""
+    rng = np.random.default_rng(1)
+    vols = tmp_path / "flair_all.npy"
+    labs = tmp_path / "label_all.npy"
+    np.save(vols, rng.standard_normal((24, 16, 16, 16, 1)).astype(np.float32))
+    np.save(labs, np.array([0, 1] * 12))
+    out = tmp_path / "splits"
+    cli.main(["prepare-data", "brats", "--volumes", str(vols), "--labels", str(labs),
+              "--out-dir", str(out)])
+    work = tmp_path / "run"
+    cli.main([
+        "pretrain-kfold", "--data-path", str(out), "--work-dir", str(work),
+        "--model", "contr_mae_vit_tiny_patch4", "--volume-size", "16",
+        "--patch-size", "4", "--epochs", "1", "--n-splits", "2", "--batch-size", "4",
+        "--compute-dtype", "float32",
+    ])
+    # standalone extraction from the fold-0 checkpoint
+    feat = tmp_path / "feats"
+    assert cli.main([
+        "extract-features", "--data-path", str(out), "--work-dir", str(feat),
+        "--checkpoint", str(work / "checkpoints" / "fold_0" / "checkpoint-min_loss"),
+        "--model", "contr_mae_vit_tiny_patch4", "--volume-size", "16",
+        "--patch-size", "4", "--batch-size", "4", "--compute-dtype", "float32",
+    ]) == 0
+    assert (feat / "test_features.npy").exists()
+    assert (feat / "train_features.npy").exists()
+    # classical SVM eval over the pretrain pipeline's fold features
+    assert cli.main([
+        "eval-classical", "--feature-dir", str(work / "ssl_features_dir"),
+        "--n-splits", "2",
+    ]) == 0

@@ -137,7 +137,7 @@ def main(argv=None):
         out = extract_ssl_features(
             data_cfg, args.checkpoint, args.work_dir, model_name=args.model,
             batch_size=args.batch_size, only_test_split=args.only_test_split,
-            compute_dtype=args.compute_dtype,
+            patch_size=args.patch_size, compute_dtype=args.compute_dtype,
         )
     elif args.cmd == "eval-classical":
         from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_features
