@@ -168,3 +168,25 @@ def test_contrastive_batched_views_equal_sequential_passes():
     np.testing.assert_allclose(
         np.asarray(out["z2"]).reshape(lat2.shape), np.asarray(lat2), rtol=1e-5, atol=1e-6
     )
+
+
+def test_unused_projector_params_still_exist():
+    """Parity quirk: the reference builds a 3-layer projector it never applies
+    (vit_autoenc.py:253-262 vs :270-285); its params must exist here too."""
+    cfg = MAEConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=24, depth=1, num_heads=3,
+        decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2,
+        contrastive=True, use_proj=True,
+    )
+    model = MaskedAutoencoderViT3D(cfg)
+    v = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 16, 16))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(3)}, v, v
+    )
+    assert "projector" in variables["params"]["heads"]
+    # ...and the forward still does NOT apply it: latents reach the predictor raw
+    out, _ = model.apply(variables, v, v, rngs={"mask": jax.random.PRNGKey(4)},
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out["z1"]), np.asarray(out["latent"]).reshape(-1, 24), rtol=1e-6
+    )

@@ -273,6 +273,12 @@ class ContrastiveHeads(nn.Module):
         if self.use_proj and apply_proj:
             z1 = self.projection_head(z1, train=train)
             z2 = self.projection_head(z2, train=train)
+        elif self.use_proj and self.is_initializing():
+            # materialise the projector params even though the MAE forward
+            # never applies them — the reference BUILDS the projector but does
+            # not use it (vit_autoenc.py:253-262 vs :270-285), so its weights
+            # exist in checkpoints; flax only creates params for called modules
+            _ = self.projection_head(z1, train=train)
         p1 = self.predictor(z1, train=train)
         p2 = self.predictor(z2, train=train)
         return p1, p2, z1, z2
