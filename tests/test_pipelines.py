@@ -135,3 +135,20 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         f = np.load(tmp_path / "w" / "ssl_features_dir"
                     / f"train_contrast_ssl_features_split_{fold}.npy")
         assert f.shape[1] == 24  # trunk cls-token feature width
+
+
+def test_pretrain_with_perceptual_term(synthetic_brats, tmp_path):
+    """perceptual_weight != 0 wires the VGG metric term into the step (random
+    weights here; stop-gradient semantics verified in objective tests)."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", perceptual_weight=0.5)
+    results = pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
+                             model_name="mae_vit_tiny_patch4", n_splits=2)
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+    import json as _json
+    lines = [_json.loads(x) for x in open(tmp_path / "w" / "checkpoints" / "log.txt")]
+    assert any(l["train_perceptual_loss"] != 0.0 for l in lines)

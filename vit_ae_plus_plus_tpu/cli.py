@@ -41,6 +41,14 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--device-augment", action="store_true",
+                   help="run augmentation on-device (BraTS)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume folds from their periodic checkpoints")
+    p.add_argument("--profile-dir", default=None,
+                   help="jax.profiler trace dir (one steady epoch)")
+    p.add_argument("--perceptual-weight", type=float, default=0.0)
+    p.add_argument("--vgg-ckpt", default=None, help="torch VGG16 weights")
 
 
 def _configs(args) -> tuple:
@@ -59,6 +67,11 @@ def _configs(args) -> tuple:
     train_cfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         patch_size=args.patch_size, compute_dtype=args.compute_dtype,
+        device_augment=getattr(args, "device_augment", False),
+        resume=getattr(args, "resume", False),
+        profile_dir=getattr(args, "profile_dir", None),
+        perceptual_weight=getattr(args, "perceptual_weight", 0.0),
+        vgg_ckpt=getattr(args, "vgg_ckpt", None),
     )
     return data_cfg, train_cfg
 

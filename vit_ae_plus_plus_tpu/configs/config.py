@@ -123,6 +123,8 @@ class TrainConfig:
     # loss weights
     use_edge_map: bool = True  # edge weight schedule 0.01 * (1 - epoch/epochs)
     perceptual_weight: float = 0.0
+    vgg_ckpt: Optional[str] = None  # torch VGG16 weights for the perceptual term
+    # (reference model/ckp-399.pth or torchvision imagenet); random init if None
     contr_weight: float = 0.001
     norm_pix_loss: bool = False
     # tpu execution

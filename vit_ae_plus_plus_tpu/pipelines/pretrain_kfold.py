@@ -101,12 +101,20 @@ def pretrain_one_fold(
         model, (sample, sample), tx,
         {"params": jax.random.PRNGKey(train_cfg.seed), "mask": jax.random.PRNGKey(1)},
     )
+    perceptual_fn = None
+    if train_cfg.perceptual_weight:
+        # gradient-free VGG metric term (reference vit_autoenc.py:229-230);
+        # weights from train_cfg.vgg_ckpt (torch format) or random He-init
+        from vit_ae_plus_plus_tpu.models.vgg import build_perceptual
+
+        _, _, perceptual_fn = build_perceptual(train_cfg.vgg_ckpt)
     step = make_train_step(
         model, mae_cfg.patch_size,
         mask_ratio=train_cfg.mask_ratio,
         contr_weight=train_cfg.contr_weight if mae_cfg.contrastive else 0.0,
         perceptual_weight=train_cfg.perceptual_weight,
         norm_pix_loss=train_cfg.norm_pix_loss,
+        perceptual_fn=perceptual_fn,
         mesh=mesh,
         donate=train_cfg.donate_state,
     )
