@@ -20,6 +20,8 @@ import time
 from collections import defaultdict, deque
 from typing import Dict, Iterable
 
+import numpy as np
+
 
 class SmoothedValue:
     """Windowed value tracker (reference misc.py:24-83 semantics)."""
@@ -134,6 +136,18 @@ class TBWriter:
         x = int(epoch_frac * 1000)
         for k, v in values.items():
             self._w.add_scalar(k, v, x)
+
+    def embedding(self, features, labels, tag: str = "ssl_embedding"):
+        """TensorBoard embedding projector (reference
+        feature_extraction.py:43-45); no-op without tensorboard."""
+        if self._w is None:
+            return
+        import torch
+
+        self._w.add_embedding(
+            torch.from_numpy(np.asarray(features)),
+            metadata=[int(x) for x in labels], tag=tag,
+        )
 
     def flush(self):
         if self._w is not None:
