@@ -188,5 +188,14 @@ def main(argv=None):
     return 0
 
 
+def run():
+    """Console entry with friendly error reporting."""
+    try:
+        return main()
+    except (FileNotFoundError, FileExistsError, KeyError, ValueError) as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

@@ -94,7 +94,13 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.indices)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        length = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if length == 0:
+            raise ValueError(
+                f"Loader would yield 0 batches: {n} items < batch_size "
+                f"{self.batch_size} (drop_last={self.drop_last})"
+            )
+        return length
 
     def _batches(self) -> Iterator[np.ndarray]:
         order = self.indices.copy()
