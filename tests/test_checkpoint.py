@@ -51,7 +51,7 @@ def test_restore_without_checkpoint_is_noop(tmp_path):
     state = _state()
     mgr = CheckpointManager(str(tmp_path / "empty"))
     restored, epoch = mgr.restore(state)
-    assert epoch == 0 and restored is state
+    assert epoch is None and restored is state  # None = no checkpoint (0 is valid)
 
 
 def test_save_params_overwrites(tmp_path):

@@ -35,7 +35,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--patch-size", type=int, default=8)
-    p.add_argument("--use-z-score", action="store_true", default=True)
+    p.add_argument("--use-z-score", action=argparse.BooleanOptionalAction,
+                   default=True, help="--no-use-z-score selects min-max [-1,1]")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--model", default="contr_mae_vit_base_patch16")
     p.add_argument("--n-splits", type=int, default=5)
@@ -57,7 +58,18 @@ def _configs(args) -> tuple:
 
         data_cfg, train_cfg, extras = bootstrap(args.config, args.config_key)
         data_cfg = dataclasses.replace(data_cfg, base_path=args.data_path or data_cfg.base_path)
-        train_cfg = dataclasses.replace(train_cfg, compute_dtype=args.compute_dtype)
+        # INI overrides training hyperparameters; flags the INI cannot express
+        # (execution/runtime options) still come from the CLI
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            compute_dtype=args.compute_dtype,
+            patch_size=extras.get("patch_size", args.patch_size),
+            seed=args.seed,
+            device_augment=getattr(args, "device_augment", False),
+            resume=getattr(args, "resume", False),
+            profile_dir=getattr(args, "profile_dir", None),
+            vgg_ckpt=getattr(args, "vgg_ckpt", None),
+        )
         return data_cfg, train_cfg
     data_cfg = DataConfig(
         name=args.dataset, base_path=args.data_path, volume_size=args.volume_size,

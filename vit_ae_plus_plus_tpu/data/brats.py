@@ -52,7 +52,9 @@ class BraTSDataset:
         self.transform = transform
         self.use_z_score = use_z_score
         self.raw = raw  # skip normalisation+augmentation: device-side augment path
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._access_lock = __import__("threading").Lock()
+        self._access_counts: dict = {}
 
     def __len__(self) -> int:
         return self.data.shape[0]
@@ -67,7 +69,12 @@ class BraTSDataset:
             return volume, volume, label
         original = normalize_volume(volume, self.use_z_score)
         if self.transform is not None:
-            volume = self.transform(volume, self._rng)
+            # deterministic per-(item, access#) stream: reproducible regardless
+            # of loader-thread interleaving, fresh draws every epoch
+            with self._access_lock:
+                count = self._access_counts[item] = self._access_counts.get(item, 0) + 1
+            rng = np.random.default_rng([self._seed, item, count])
+            volume = self.transform(volume, rng)
         augmented = normalize_volume(volume, self.use_z_score)
         label = int(self.labels[item]) if self.labels is not None else -100
         return augmented, original, label

@@ -73,7 +73,9 @@ class EGDDataset:
         self.has_labels = mode == "test"
         self.transform = transform
         self.use_z_score = use_z_score
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._access_lock = __import__("threading").Lock()
+        self._access_counts: dict = {}
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -94,7 +96,12 @@ class EGDDataset:
         volume = self.load_volume(scan).astype(np.float32)
         original = normalize_per_channel(volume, self.use_z_score)
         if self.transform is not None:
-            volume = self.transform(volume, self._rng)
+            # deterministic per-(item, access#) stream: reproducible regardless
+            # of loader-thread interleaving, fresh draws every epoch
+            with self._access_lock:
+                count = self._access_counts[item] = self._access_counts.get(item, 0) + 1
+            rng = np.random.default_rng([self._seed, item, count])
+            volume = self.transform(volume, rng)
         augmented = normalize_per_channel(volume, self.use_z_score)
         return augmented, original, label
 

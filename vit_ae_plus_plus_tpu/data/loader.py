@@ -129,8 +129,9 @@ class Loader:
                     if stop.is_set():
                         return
                     q.put(collate(batch_idx))
-            finally:
                 q.put(None)
+            except BaseException as e:  # propagate to the consumer, never truncate
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -139,6 +140,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -125,8 +125,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
     delta = delta_ref[:]  # (BQ, 1)
     nk = k_ref.shape[0] // block_k
 
-    dq = jnp.zeros(q.shape, jnp.float32)
-    for ik in range(nk):  # static unroll
+    def body(ik, dq):
         k = k_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[pl.ds(ik * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -138,9 +137,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
-        dq = dq + jax.lax.dot_general(
+        return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+
+    # fori_loop over the clean prefix (VMEM buffers reused), static ragged tail
+    dq = jax.lax.fori_loop(0, nk - 1, body, jnp.zeros(q.shape, jnp.float32))
+    dq = body(nk - 1, dq)
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
 
 

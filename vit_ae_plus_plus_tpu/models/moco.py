@@ -109,13 +109,14 @@ def moco_loss(model, base_variables, momentum_variables, x1, x2, temperature=1.0
         q2 = model.apply(base_variables, x2, train=False, use_predictor=True)
         new_bs = base_variables.get("batch_stats", {})
 
-    # momentum targets, no gradient (keys through the momentum encoder in eval-
-    # style BN? no: reference momentum encoder runs in train mode too, but its
-    # params/stats never receive gradients)
-    k1 = jax.lax.stop_gradient(
-        model.apply(momentum_variables, x1, train=False, use_predictor=False)
-    )
-    k2 = jax.lax.stop_gradient(
-        model.apply(momentum_variables, x2, train=False, use_predictor=False)
-    )
+    # momentum targets, no gradient. The reference momentum encoder runs in
+    # train mode (builder.py:94-96 under model.train()), i.e. its BN uses the
+    # CURRENT BATCH statistics — so keys here are computed with train=True and
+    # the incidental running-stat updates are discarded (torch's buffers are
+    # likewise never EMA'd: _update_momentum_encoder iterates parameters only).
+    k1, _ = model.apply(momentum_variables, x1, train=True, use_predictor=False,
+                        mutable=["batch_stats"])
+    k2, _ = model.apply(momentum_variables, x2, train=True, use_predictor=False,
+                        mutable=["batch_stats"])
+    k1, k2 = jax.lax.stop_gradient(k1), jax.lax.stop_gradient(k2)
     return info_nce(q1, k2, temperature) + info_nce(q2, k1, temperature), new_bs

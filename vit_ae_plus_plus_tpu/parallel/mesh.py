@@ -55,8 +55,13 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def initialize_distributed() -> None:
-    """Multi-host init (call once per process on a real multi-host slice)."""
-    if jax.process_count() == 1 and len(jax.devices()) == len(jax.local_devices()):
-        return  # single process, nothing to do
-    jax.distributed.initialize()
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (call once per process, BEFORE any other jax API use —
+    the jax equivalent of init_process_group, reference misc.py:242-246).
+    Safe to call on a single host: initialize() is a no-op failure there and
+    re-initialisation raises, both swallowed."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        # single-process environment or already initialised
+        print(f"jax.distributed.initialize skipped: {e}")

@@ -48,6 +48,11 @@ def extract_ssl_features(
     params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
     feat_step = make_feature_step(vit_model)
 
+    if data_cfg.name == "egd" and not only_test_split:
+        raise ValueError(
+            "EGD has no 'train' feature split — the labelled pool is mode='test' "
+            "(reference egd.py:19-39); pass only_test_split=True / --only-test-split"
+        )
     splits = ["test"] if only_test_split else ["train", "test"]
     os.makedirs(out_dir, exist_ok=True)
     for split in splits:
@@ -59,7 +64,7 @@ def extract_ssl_features(
             n = aug.shape[0]
             if n < batch_size:
                 pad = batch_size - n
-                aug = np.concatenate([aug, aug[:pad]])
+                aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
             out = feat_step({"params": params}, aug)
             feats.append(np.asarray(out)[:n])
             labels.append(lab)

@@ -137,8 +137,8 @@ def evaluate(eval_step, params, loader, pad_batch: int) -> Dict[str, float]:
         n = aug.shape[0]
         if n < pad_batch:
             pad = pad_batch - n
-            aug = np.concatenate([aug, aug[:pad]])
-            labels_p = np.concatenate([labels, labels[:pad]])
+            aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
+            labels_p = np.concatenate([labels, np.repeat(labels[:1], pad)])
             logits, loss = eval_step(params, aug, labels_p)
             logits = np.asarray(logits)[:n]
         else:

@@ -186,7 +186,9 @@ def moco_kfold(
             jsonl.write({"train_loss": mean_loss, "epoch": epoch, "fold": fold_idx})
         results[fold_idx] = {"min_loss": min_loss}
 
-        # feature extraction from the base trunk (main_3d_moco_k_fold.py:279-354)
+        # feature extraction from the MIN-LOSS trunk, as the reference reloads
+        # min_loss.pth.tar before extracting (main_3d_moco_k_fold.py:295-322)
+        extract_params = best if best is not None else jax.device_get(state.params)
         feat_model = MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
         feat_dir = os.path.join(work_dir, "ssl_features_dir")
         os.makedirs(feat_dir, exist_ok=True)
@@ -202,9 +204,10 @@ def moco_kfold(
                 n = aug.shape[0]
                 if n < train_cfg.batch_size:
                     pad = train_cfg.batch_size - n
-                    aug = np.concatenate([aug, aug[:pad]])
+                    aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
                 out = trunk_apply(
-                    {"params": state.params, "batch_stats": state.batch_stats}, aug
+                    {"params": extract_params,
+                     "batch_stats": jax.device_get(state.batch_stats)}, aug
                 )
                 feats.append(np.asarray(out)[:n])
                 labs.append(lab)

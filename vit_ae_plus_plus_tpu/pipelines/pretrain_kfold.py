@@ -134,7 +134,7 @@ def pretrain_one_fold(
     if getattr(train_cfg, "resume", False):
         resume_mgr = CheckpointManager(os.path.join(ckpt_dir, "resume"), max_to_keep=1)
         state, restored_epoch = resume_mgr.restore(state)
-        if restored_epoch:
+        if restored_epoch is not None:
             start_epoch = restored_epoch + 1
             print(f"Resumed fold {fold_idx} at epoch {start_epoch}")
 
@@ -156,7 +156,8 @@ def pretrain_one_fold(
             if mesh is not None:
                 aug, orig = shard_batch((aug, orig), mesh)
             if device_aug is not None:
-                aug, orig = device_aug(jax.random.fold_in(rng, count), jnp.asarray(aug))
+                aug_key = jax.random.fold_in(jax.random.fold_in(rng, epoch), count)
+                aug, orig = device_aug(aug_key, jnp.asarray(aug))
             state, metrics = step(state, aug, orig, rng, edge_w)
             sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
             count += 1
@@ -227,7 +228,8 @@ def extract_fold_features(
     for aug, _orig, lab in loader:
         if aug.shape[0] < batch_size:  # pad final partial batch for static shapes
             pad = batch_size - aug.shape[0]
-            out = feat_step({"params": params}, np.concatenate([aug, aug[:pad]], axis=0))
+            filler = np.repeat(aug[:1], pad, axis=0)  # correct even when pad > n
+            out = feat_step({"params": params}, np.concatenate([aug, filler], axis=0))
             feats.append(np.asarray(out)[: aug.shape[0]])
         else:
             feats.append(np.asarray(feat_step({"params": params}, aug)))

@@ -95,11 +95,9 @@ def resnet_kfold(
         best_roc = 0.0
         for epoch in range(epochs):
             for aug, _orig, lab in loader:
-                n = aug.shape[0]
-                if n < train_cfg.batch_size:  # pad partial batch (drop_last=False here)
-                    pad = train_cfg.batch_size - n
-                    aug = np.concatenate([aug, aug[:pad]])
-                    lab = np.concatenate([lab, lab[:pad]])
+                # the final partial batch trains at its true size (one extra
+                # compiled shape, same gradients as the reference's
+                # drop_last=False loader)
                 state, m = train_step(state, aug, lab, rng)
             test_stats = evaluate(
                 lambda p, b, l: eval_step({"params": p, "batch_stats": state.batch_stats}, b, l),

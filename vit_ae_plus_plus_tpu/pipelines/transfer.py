@@ -23,9 +23,6 @@ import jax.numpy as jnp
 from vit_ae_plus_plus_tpu.configs import MAEConfig, ViTConfig
 from vit_ae_plus_plus_tpu.ops import get_3d_sincos_pos_embed, interpolate_pos_embed
 
-ENCODER_KEYS = ("patch_embed", "cls_token", "norm")
-
-
 def mae_params_to_vit(
     mae_params: Dict, vit_params: Dict, mae_cfg: MAEConfig, vit_cfg: ViTConfig
 ) -> Dict:

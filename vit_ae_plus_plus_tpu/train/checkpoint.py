@@ -41,9 +41,11 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore(self, state, step: Optional[int] = None):
+        """Returns (state, epoch); epoch is None when no checkpoint exists
+        (epoch 0 is a valid resumable checkpoint)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
-            return state, 0
+            return state, None
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -129,9 +131,6 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"], patch_size: int
         # torch LayerNorm/Linear leaves
         leaf = parts[-1]
         sub = parts[:-1]
-        is_norm = any(p.startswith("norm") or p in ("fc_norm",) for p in sub[-1:]) or (
-            sub and sub[-1] in ("norm", "norm1", "norm2", "decoder_norm", "fc_norm")
-        )
         if leaf == "weight":
             if w.ndim == 1:  # LayerNorm weight
                 _set(params, tuple(sub) + ("scale",), w)

@@ -49,6 +49,19 @@ def weight_decay_mask(params) -> Any:
     return jax.tree.map(lambda p: p.ndim > 1, params)
 
 
+def finetune_weight_decay_mask(params) -> Any:
+    """Fine-tune decay mask: ndim > 1 AND not in the model's no_weight_decay
+    set {pos_embed, cls_token} (reference lr_decay.py:32 +
+    vit.py no_weight_decay():251)."""
+    exempt = {"pos_embed", "cls_token", "dist_token", "mask_token"}
+
+    def mask(path, p):
+        name = str(getattr(path[0], "key", path[0])) if path else ""
+        return p.ndim > 1 and name not in exempt
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
 def make_adamw(
     learning_rate: optax.Schedule | float,
     weight_decay: float = 0.05,
@@ -121,7 +134,7 @@ def make_layerwise_adamw(
     scales = layerwise_lr_decay_mask(params, depth, layer_decay)
     return optax.chain(
         optax.adamw(learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay,
-                    mask=weight_decay_mask),
+                    mask=finetune_weight_decay_mask),
         scale_by_trees(scales),
     )
 

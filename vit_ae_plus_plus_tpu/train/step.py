@@ -48,8 +48,7 @@ def make_train_step(
     contrastive = getattr(model.cfg, "contrastive", False)
 
     def step_fn(state: TrainState, view1, view2, rng, edge_map_weight):
-        rng = jax.random.fold_in(rng, state.step)
-        rng1, rng2 = jax.random.split(rng)
+        rng1 = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params}
