@@ -39,16 +39,18 @@ from jax.experimental import pallas as pl
 # back to 512-token key blocks with the online-softmax loop.
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
-_SINGLE_BLOCK_MAX = 2048
 
 
-def _default_blocks(n_kv: int, block_q, block_k):
-    """Resolve None block sizes; must be used identically in fwd and bwd."""
+def _default_blocks(n_kv: int, block_q, block_k, dtype):
+    """Resolve None block sizes; must be used identically in fwd and bwd.
+    The single-block-K fast path needs ~4 score-sized f32 buffers in VMEM, so
+    its ceiling depends on the input dtype (f32 K/V double-buffers too)."""
     if block_q is None:
         block_q = DEFAULT_BLOCK_Q
     if block_k is None:
+        single_max = 2048 if dtype == jnp.bfloat16 else 1024
         pk = _pad_len(n_kv, 256)
-        block_k = pk if pk <= _SINGLE_BLOCK_MAX else DEFAULT_BLOCK_K
+        block_k = pk if pk <= single_max else DEFAULT_BLOCK_K
     return block_q, block_k
 _NEG_INF = -1e30
 
@@ -207,7 +209,7 @@ def _pad_seq(x: jnp.ndarray, to_len: int) -> jnp.ndarray:
 def _fwd(q, k, v, scale, block_q, block_k, interpret):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
-    block_q, block_k = _default_blocks(n_kv, block_q, block_k)
+    block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
     qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
 
@@ -237,7 +239,7 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
 def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
-    block_q, block_k = _default_blocks(n_kv, block_q, block_k)
+    block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
     qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
     dop = _pad_seq(do, pq)
