@@ -69,3 +69,17 @@ def test_egd_combined_pretraining(synthetic_egd, tmp_path):
         te = np.load(tmp_path / "w" / "ssl_features_dir"
                      / f"test_contrast_ssl_features_split_{fold}.npy")
         assert tr.shape[0] + te.shape[0] == 6
+
+
+def test_egd_device_augment_pretraining(synthetic_egd, tmp_path):
+    """Device-side augmentation for EGD: raw 4-modality streaming + on-device
+    per-channel z-score."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="egd", base_path=synthetic_egd, volume_size=16,
+                          in_channels=4, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", device_augment=True)
+    results = pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
+                             model_name="mae_vit_tiny_patch4", n_splits=3)
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())

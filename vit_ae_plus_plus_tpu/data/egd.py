@@ -64,6 +64,7 @@ class EGDDataset:
         transform: Optional[Transform] = None,
         use_z_score: bool = False,
         seed: int = 0,
+        raw: bool = False,
     ):
         if mode not in ("ssl", "test", "whole", "whole_train"):
             raise ValueError(f"invalid mode {mode!r}")
@@ -71,6 +72,7 @@ class EGDDataset:
         with open(os.path.join(split_dir, split_filename(mode, split)), "rb") as f:
             self.indices = pickle.load(f)
         self.has_labels = mode == "test"
+        self.raw = raw  # skip normalisation+augmentation: device-side augment path
         self.transform = transform
         self.use_z_score = use_z_score
         self._seed = seed
@@ -94,6 +96,8 @@ class EGDDataset:
         else:
             scan, label = self.indices[item], -100
         volume = self.load_volume(scan).astype(np.float32)
+        if self.raw:
+            return volume, volume, label
         original = normalize_per_channel(volume, self.use_z_score)
         if self.transform is not None:
             # deterministic per-(item, access#) stream: reproducible regardless

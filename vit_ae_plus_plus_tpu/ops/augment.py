@@ -125,6 +125,13 @@ def minmax_volume(vol: jnp.ndarray) -> jnp.ndarray:
     return 2 * (vol - vmin) / jnp.maximum(vmax - vmin, 1e-8) - 1
 
 
+def znorm_per_channel(vol: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel z-score over spatial dims (EGD semantics, egd.py:44-47)."""
+    mean = vol.mean(axis=(1, 2, 3), keepdims=True)
+    var = vol.var(axis=(1, 2, 3), keepdims=True)
+    return (vol - mean) / jnp.sqrt(var)
+
+
 def augment_one(key: jax.Array, vol: jnp.ndarray) -> jnp.ndarray:
     """The SSL policy: affine -> noise -> gamma (k_fold_…_brats.py:93-97)."""
     k1, k2, k3 = jax.random.split(key, 3)
@@ -134,13 +141,18 @@ def augment_one(key: jax.Array, vol: jnp.ndarray) -> jnp.ndarray:
     return vol
 
 
-def device_augment_batch(key: jax.Array, raw_batch: jnp.ndarray, use_z_score: bool = True):
+def device_augment_batch(key: jax.Array, raw_batch: jnp.ndarray, use_z_score: bool = True,
+                         per_channel: bool = False):
     """(B, C, S, S, S) raw volumes -> (augmented_normed, original_normed).
 
     Fuses the entire (augment, normalise both views) data path into XLA —
     the device-side replacement for the host loader's per-sample CPU work.
+    `per_channel` selects EGD's per-channel z-score.
     """
-    norm = znorm_volume if use_z_score else minmax_volume
+    if per_channel and use_z_score:
+        norm = znorm_per_channel
+    else:
+        norm = znorm_volume if use_z_score else minmax_volume
     keys = jax.random.split(key, raw_batch.shape[0])
     augmented = jax.vmap(augment_one)(keys, raw_batch)
     view1 = jax.vmap(norm)(augmented)

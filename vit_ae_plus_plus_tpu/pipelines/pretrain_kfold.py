@@ -73,7 +73,9 @@ def pretrain_one_fold(
         from vit_ae_plus_plus_tpu.ops.augment import device_augment_batch
 
         device_aug = jax.jit(
-            lambda key, raw: device_augment_batch(key, raw, data_cfg.use_z_score)
+            lambda key, raw: device_augment_batch(
+                key, raw, data_cfg.use_z_score, per_channel=(data_cfg.name == "egd")
+            )
         )
 
     from vit_ae_plus_plus_tpu.data.loader import process_local_indices
@@ -257,12 +259,25 @@ def pretrain_kfold(
         # over the LABELED pool; pretraining sees labeled-train + the whole
         # unlabeled SSL pool concatenated with offset ids; features come from
         # the labeled pool only.
-        labeled_aug = get_dataset("egd", "test", data_cfg, transforms=transforms,
-                                  use_z_score=data_cfg.use_z_score)
+        import os as _os
+
+        if train_cfg.device_augment:
+            from vit_ae_plus_plus_tpu.data import EGDDataset
+
+            split_dir = _os.path.join(data_cfg.base_path, "splits")
+            labeled_aug = EGDDataset(data_cfg.base_path, split_dir, mode="test",
+                                     split=data_cfg.split, raw=True)
+        else:
+            labeled_aug = get_dataset("egd", "test", data_cfg, transforms=transforms,
+                                      use_z_score=data_cfg.use_z_score)
         labeled_no_aug = get_dataset("egd", "test", data_cfg, transforms=None,
                                      use_z_score=data_cfg.use_z_score)
-        ssl_aug = get_dataset("egd", "ssl", data_cfg, transforms=transforms,
-                              use_z_score=data_cfg.use_z_score)
+        if train_cfg.device_augment:
+            ssl_aug = EGDDataset(data_cfg.base_path, split_dir, mode="ssl",
+                                 split=data_cfg.split, raw=True)
+        else:
+            ssl_aug = get_dataset("egd", "ssl", data_cfg, transforms=transforms,
+                                  use_z_score=data_cfg.use_z_score)
         from vit_ae_plus_plus_tpu.data.loader import ConcatDataset
 
         dataset_aug = ConcatDataset([labeled_aug, ssl_aug])
@@ -272,7 +287,7 @@ def pretrain_kfold(
     else:
         if train_cfg.device_augment:
             # host loader streams RAW volumes; augmentation+normalisation run
-            # on-device (BraTS only for now — EGD needs per-channel z-score)
+            # on-device (ops/augment.py)
             from vit_ae_plus_plus_tpu.data import BraTSDataset
 
             dataset_aug = BraTSDataset(data_cfg.base_path, "whole", raw=True)
