@@ -81,3 +81,16 @@ def test_device_augment_batch_contract():
     )
     # different per-sample keys -> different augmentations
     assert not np.allclose(np.asarray(v1[0]), np.asarray(v1[1]))
+
+
+def test_per_channel_device_normalisation():
+    from vit_ae_plus_plus_tpu.ops.augment import znorm_per_channel, minmax_volume
+
+    raw = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 8, 8)) * jnp.array(
+        [1.0, 5.0, 0.2]
+    ).reshape(3, 1, 1, 1) + 7
+    z = znorm_per_channel(raw)
+    np.testing.assert_allclose(np.asarray(z.mean(axis=(1, 2, 3))), 0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z.var(axis=(1, 2, 3))), 1, atol=1e-4)
+    mm = minmax_volume(raw)
+    assert np.isclose(float(mm.min()), -1) and np.isclose(float(mm.max()), 1)

@@ -110,3 +110,33 @@ def test_data_parallel_step_on_virtual_mesh():
     # rescaling amplifies that for near-zero-gradient entries, so compare the
     # post-update params at 1e-3 (update magnitude is lr=1e-3)
     assert max(jax.tree.leaves(diffs)) < 1e-3
+
+
+def test_feature_and_eval_steps_on_mesh():
+    """make_feature_step / make_eval_step under the 8-device data mesh."""
+    from vit_ae_plus_plus_tpu.train.step import make_eval_step, make_feature_step
+    from vit_ae_plus_plus_tpu.configs import ViTConfig
+    from vit_ae_plus_plus_tpu.models import build_model, MaskedAutoencoderViT3D
+
+    mesh = make_mesh(data=8)
+    vit_cfg = ViTConfig(volume_size=16, patch_size=4, in_chans=1, embed_dim=24,
+                        depth=1, num_heads=3, num_classes=0, global_pool=True)
+    vit = build_model(vit_cfg)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 16, 16, 16))
+    variables = vit.init({"params": jax.random.PRNGKey(1)}, batch)
+    from vit_ae_plus_plus_tpu.parallel import replicate, shard_batch
+
+    feat_step = make_feature_step(vit, mesh=mesh)
+    feats = feat_step(replicate(variables, mesh), shard_batch(batch, mesh))
+    assert feats.shape == (8, 24)
+    # parity vs single-device
+    feats1 = make_feature_step(vit)(variables, batch)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats1), rtol=1e-5,
+                               atol=1e-6)
+
+    mae = MaskedAutoencoderViT3D(TINY)
+    mv = mae.init({"params": jax.random.PRNGKey(2), "mask": jax.random.PRNGKey(3)}, batch)
+    eval_step = make_eval_step(mae, 4, mesh=mesh)
+    metrics = eval_step(replicate(mv, mesh), shard_batch(batch, mesh),
+                        jax.random.PRNGKey(4))
+    assert math.isfinite(float(metrics["reconstruction_loss"]))
