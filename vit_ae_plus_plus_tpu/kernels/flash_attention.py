@@ -15,8 +15,6 @@ otherwise (CPU tests, tiny sequences).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +28,6 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
 def multihead_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
 ) -> jnp.ndarray:
@@ -45,8 +42,26 @@ def multihead_attention(
         impl = "flash" if (on_tpu and q.shape[-2] >= 1024) else "xla"
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
+    interpret = jax.default_backend() != "tpu"  # pallas compiles only on TPU
     if impl == "flash":
         from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
-        return flash_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale, interpret=interpret)
+    if impl == "flash_tp":
+        # Pallas kernels are single-device programs, so under tensor
+        # parallelism the kernel runs per-shard via shard_map: heads split
+        # over 'model', batch over 'data'. Requires the caller to execute
+        # under `jax.set_mesh(mesh)` (see parallel/tp.py) and head counts
+        # divisible by the 'model' axis size.
+        from jax.sharding import PartitionSpec as P
+
+        from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
+
+        mesh = jax.sharding.get_abstract_mesh()
+        spec = P("data", "model", None, None)
+        sharded = jax.shard_map(
+            lambda q, k, v: flash_attention(q, k, v, scale, interpret=interpret),
+            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec, check_vma=False,
+        )
+        return sharded(q, k, v)
     raise ValueError(f"unknown attention impl {impl!r}")
