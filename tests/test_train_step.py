@@ -140,3 +140,35 @@ def test_feature_and_eval_steps_on_mesh():
     metrics = eval_step(replicate(mv, mesh), shard_batch(batch, mesh),
                         jax.random.PRNGKey(4))
     assert math.isfinite(float(metrics["reconstruction_loss"]))
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum_iter=2 over two half-batches == one full-batch update
+    (reference accum semantics, train_one_epoch.py:70-74). Adam normalises by
+    grad moments, so compare against averaging the two half-batch grads: use
+    the same data for both micro-batches, which must equal one full step on
+    that data."""
+    model = MaskedAutoencoderViT3D(TINY)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (4, 1, 16, 16, 16))
+
+    tx_acc = make_adamw(1e-3, weight_decay=0.05, accum_iter=2)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    state_acc = create_train_state(model, (batch,), tx_acc, rngs)
+    step = make_train_step(model, 4, mask_ratio=0.75, donate=False)
+    rng = jax.random.PRNGKey(3)
+    w = jnp.float32(0.01)
+    # two micro-steps with identical data; fold_in uses state.step so pin it
+    state_acc = state_acc.replace(step=jnp.zeros((), jnp.int32))
+    s1, _ = step(state_acc, batch, batch, rng, w)
+    s1 = s1.replace(step=jnp.zeros((), jnp.int32))  # same rng stream per micro-step
+    s2, _ = step(s1, batch, batch, rng, w)
+
+    state_full = create_train_state(model, (batch,), make_adamw(1e-3, weight_decay=0.05),
+                                    rngs)
+    f1, _ = step(state_full, batch, batch, rng, w)
+
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         s2.params, f1.params)
+    # MultiSteps' incremental micro-grad averaging perturbs grads ~1e-7; Adam's
+    # 1/sqrt(v) rescaling amplifies near-zero entries (update scale is lr=1e-3)
+    assert max(jax.tree.leaves(diffs)) < 1e-3
