@@ -152,3 +152,17 @@ def test_pretrain_with_perceptual_term(synthetic_brats, tmp_path):
     import json as _json
     lines = [_json.loads(x) for x in open(tmp_path / "w" / "checkpoints" / "log.txt")]
     assert any(l["train_perceptual_loss"] != 0.0 for l in lines)
+
+
+def test_resnet_kfold_eval_only(synthetic_brats, tmp_path):
+    from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    work = str(tmp_path / "w")
+    resnet_kfold(data_cfg, train_cfg, work, depth=10, n_splits=2, epochs=1)
+    results = resnet_kfold(data_cfg, train_cfg, work, depth=10, n_splits=2,
+                           eval_only=True)
+    for fold in results:
+        assert 0.0 <= results[fold]["roc_auc_score"] <= 1.0

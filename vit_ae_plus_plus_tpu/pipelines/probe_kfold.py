@@ -53,8 +53,13 @@ def probe_kfold(
     layer_decay: float = 0.75,
     folds=None,
     epochs: Optional[int] = None,
+    eval_only: bool = False,
 ) -> Dict:
-    """Returns per-fold test stats for each best-model criterion."""
+    """Returns per-fold test stats for each best-model criterion.
+
+    eval_only skips training and evaluates the saved best checkpoints
+    (reference linear_projection.py:197-207 / fine_tune_epoch.py:304-311).
+    """
     epochs = epochs if epochs is not None else train_cfg.epochs
     dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
                               transforms=default_ssl_transforms(),
@@ -118,7 +123,7 @@ def probe_kfold(
         rng = jax.random.PRNGKey(train_cfg.seed + fold_idx)
         val_loader = Loader(dataset_no_aug, train_cfg.batch_size, indices=val_ids,
                             shuffle=False, drop_last=False)
-        for epoch in range(epochs):
+        for epoch in range(0 if eval_only else epochs):
             for aug, _orig, lab in loader:
                 state, m = train_step(state, aug, lab, rng)
             val_stats = evaluate(eval_step, state.params, val_loader, train_cfg.batch_size)

@@ -58,6 +58,7 @@ def resnet_kfold(
     class_weights=(3.0, 1.0),
     folds=None,
     epochs: Optional[int] = None,
+    eval_only: bool = False,
 ) -> Dict:
     epochs = epochs if epochs is not None else train_cfg.epochs
     dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
@@ -93,6 +94,21 @@ def resnet_kfold(
                              shuffle=False, drop_last=False)
         rng = jax.random.PRNGKey(train_cfg.seed)
         best_roc = 0.0
+        if eval_only:
+            # reference test-only mode (train_3d_resnet.py:314-351): evaluate
+            # the saved per-fold best model on the fold's test split
+            from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+
+            ckpt = os.path.join(work_dir, "checkpoints", f"best_ft_model_split{fold_idx}")
+            best = load_params(ckpt, jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats}))
+            test_stats = evaluate(
+                lambda p, b, l: eval_step({"params": p,
+                                           "batch_stats": best["batch_stats"]}, b, l),
+                best["params"], test_loader, train_cfg.batch_size,
+            )
+            results[fold_idx] = test_stats
+            continue
         for epoch in range(epochs):
             for aug, _orig, lab in loader:
                 # the final partial batch trains at its true size (one extra
