@@ -99,6 +99,9 @@ def main(argv=None):
         if name in ("probe-kfold", "finetune-kfold"):
             p.add_argument("--pretrain-dir", required=True)
             p.add_argument("--use-mixup", action="store_true")
+            p.add_argument("--eval-only", action="store_true")
+        if name == "resnet-kfold":
+            p.add_argument("--eval-only", action="store_true")
         if name == "extract-features":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--only-test-split", action="store_true")
@@ -146,12 +149,13 @@ def main(argv=None):
         out = probe_kfold(
             data_cfg, train_cfg, args.work_dir, args.pretrain_dir, model_name=args.model,
             n_splits=args.n_splits, fix_backbone=(args.cmd == "probe-kfold"),
-            use_mixup=args.use_mixup,
+            use_mixup=args.use_mixup, eval_only=args.eval_only,
         )
     elif args.cmd == "resnet-kfold":
         from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold
 
-        out = resnet_kfold(data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits)
+        out = resnet_kfold(data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits,
+                           eval_only=args.eval_only)
     elif args.cmd == "moco-kfold":
         from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
 
