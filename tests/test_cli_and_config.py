@@ -109,3 +109,45 @@ def test_cli_extract_and_eval_classical(tmp_path):
         "eval-classical", "--feature-dir", str(work / "ssl_features_dir"),
         "--n-splits", "2",
     ]) == 0
+
+
+def test_cli_pretrain_with_config_ini(tmp_path):
+    """INI-overrides-CLI end to end: the reference's primary config style."""
+    import textwrap as tw
+
+    rng = np.random.default_rng(2)
+    np.save(tmp_path / "flair_all.npy",
+            rng.standard_normal((20, 16, 16, 16, 1)).astype(np.float32))
+    np.save(tmp_path / "label_all.npy", np.array([0, 1] * 10))
+    out = tmp_path / "splits"
+    cli.main(["prepare-data", "brats", "--volumes", str(tmp_path / "flair_all.npy"),
+              "--labels", str(tmp_path / "label_all.npy"), "--out-dir", str(out)])
+    ini = tmp_path / "config.ini"
+    ini.write_text(tw.dedent("""
+        [DATASET]
+        name = brats
+        use_z_score = True
+        in_channels = 1
+        volume_size = 16
+        num_classes = 2
+
+        [K_FOLD]
+        epochs = 1
+        batch_size = 4
+        weight_decay = 0.05
+        mask_ratio = 0.75
+        patch_size = 4
+        contr_weight = 0.001
+        use_edge_map = yes
+    """))
+    work = tmp_path / "run"
+    assert cli.main([
+        "pretrain-kfold", "--config", str(ini), "--data-path", str(out),
+        "--work-dir", str(work), "--model", "contr_mae_vit_tiny_patch4",
+        "--n-splits", "2", "--compute-dtype", "float32",
+    ]) == 0
+    import json as _json
+    lines = [_json.loads(x) for x in open(work / "checkpoints" / "log.txt")]
+    # INI hyperparameters took effect: 1 epoch per fold, contrastive term active
+    assert max(l["epoch"] for l in lines) == 0
+    assert any(l["train_contr_loss"] != 0.0 for l in lines)
