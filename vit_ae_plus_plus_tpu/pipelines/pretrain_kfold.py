@@ -195,7 +195,15 @@ def pretrain_one_fold(
         if resume_mgr is not None:
             resume_mgr.save(epoch, state, epoch=epoch)
 
-    print(f"Fold {fold_idx}: trained {train_cfg.epochs} epochs in "
+    if best_params is None:
+        # resumed at (or past) the final epoch: reload the saved min-loss
+        # checkpoint so feature extraction still has the best weights
+        from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+
+        best_params = load_params(
+            os.path.join(ckpt_dir, "checkpoint-min_loss"), jax.device_get(state.params)
+        )
+    print(f"Fold {fold_idx}: trained epochs [{start_epoch}, {train_cfg.epochs}) in "
           f"{time.time() - t_start:.0f}s, min loss {min_loss:.4f}")
     return mae_cfg, best_params, {"min_loss": min_loss}
 
