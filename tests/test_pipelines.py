@@ -166,3 +166,31 @@ def test_resnet_kfold_eval_only(synthetic_brats, tmp_path):
                            eval_only=True)
     for fold in results:
         assert 0.0 <= results[fold]["roc_auc_score"] <= 1.0
+
+
+def test_finetune_single_run(synthetic_brats, tmp_path):
+    """Standalone fine-tune over train/val/test splits (fine_tune_epoch.py)."""
+    import numpy as np_
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+    from vit_ae_plus_plus_tpu.pipelines.finetune import finetune_single
+
+    # the whole-split fixture lacks train/val/test files: create them
+    rng = np_.random.default_rng(3)
+    for mode, n in (("train", 12), ("val", 4), ("test", 4)):
+        np_.save(f"{synthetic_brats}/x_{mode}_ssl.npy",
+                 rng.standard_normal((n, 16, 16, 16, 1)).astype(np_.float32))
+        np_.save(f"{synthetic_brats}/y_{mode}_ssl.npy", np_.array([0, 1] * (n // 2)))
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32")
+    pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "pre"),
+                   model_name="mae_vit_tiny_patch4", n_splits=2)
+    results = finetune_single(
+        data_cfg, train_cfg, str(tmp_path / "ft"),
+        str(tmp_path / "pre" / "checkpoints" / "fold_0" / "checkpoint-min_loss"),
+        model_name="mae_vit_tiny_patch4",
+    )
+    assert "best_ft_model" in results
+    assert 0.0 <= results["best_ft_model"]["roc_auc_score"] <= 1.0

@@ -92,8 +92,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser("vit_ae_plus_plus_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    for name in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "resnet-kfold",
-                 "moco-kfold", "extract-features", "eval-classical", "sanity-viz"):
+    for name in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "finetune",
+                 "resnet-kfold", "moco-kfold", "extract-features", "eval-classical",
+                 "sanity-viz"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("probe-kfold", "finetune-kfold"):
@@ -101,6 +102,11 @@ def main(argv=None):
             p.add_argument("--use-mixup", action="store_true")
             p.add_argument("--eval-only", action="store_true")
         if name == "resnet-kfold":
+            p.add_argument("--eval-only", action="store_true")
+        if name == "finetune":
+            p.add_argument("--checkpoint", required=True)
+            p.add_argument("--fix-backbone", action="store_true")
+            p.add_argument("--use-mixup", action="store_true")
             p.add_argument("--eval-only", action="store_true")
         if name == "extract-features":
             p.add_argument("--checkpoint", required=True)
@@ -149,6 +155,14 @@ def main(argv=None):
         out = probe_kfold(
             data_cfg, train_cfg, args.work_dir, args.pretrain_dir, model_name=args.model,
             n_splits=args.n_splits, fix_backbone=(args.cmd == "probe-kfold"),
+            use_mixup=args.use_mixup, eval_only=args.eval_only,
+        )
+    elif args.cmd == "finetune":
+        from vit_ae_plus_plus_tpu.pipelines.finetune import finetune_single
+
+        out = finetune_single(
+            data_cfg, train_cfg, args.work_dir, args.checkpoint,
+            model_name=args.model, fix_backbone=args.fix_backbone,
             use_mixup=args.use_mixup, eval_only=args.eval_only,
         )
     elif args.cmd == "resnet-kfold":

@@ -178,3 +178,107 @@ class BestModelTracker:
                 self.best[crit] = val_stats[crit]
                 tag = f"{name}_{fold}" if fold is not None else name
                 save_params(os.path.join(self.out_dir, f"checkpoint-{tag}"), params)
+
+
+def finetune_single(
+    data_cfg,
+    train_cfg,
+    work_dir: str,
+    checkpoint_path: str,
+    model_name: str = "contr_mae_vit_base_patch16",
+    fix_backbone: bool = False,
+    use_mixup: bool = False,
+    class_weights=None,
+    layer_decay: float = 0.75,
+    blr: float = 1e-3,
+    eval_only: bool = False,
+):
+    """Single-run fine-tune over the train/val/test splits.
+
+    Parity: reference post_training_utils/fine_tune_epoch.py:216-443 — load a
+    pretrained MAE checkpoint, graft into a classifier ViT, head init
+    trunc_normal(2e-5), AdamW with layer-wise LR decay (or frozen-backbone
+    SGD), per-epoch train + train/val evaluation, best models by 3 criteria,
+    final test evaluation of each.
+    """
+    import jax.numpy as jnp
+    from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+    from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
+    from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
+    from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
+    from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+    from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
+    from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
+    import jax
+    import numpy as np
+    import os
+
+    ds_train = get_dataset(data_cfg.name, "train", data_cfg,
+                           transforms=default_ssl_transforms(),
+                           use_z_score=data_cfg.use_z_score)
+    ds_val = get_dataset(data_cfg.name, "val", data_cfg, transforms=None,
+                         use_z_score=data_cfg.use_z_score)
+    ds_test = get_dataset(data_cfg.name, "test", data_cfg, transforms=None,
+                          use_z_score=data_cfg.use_z_score)
+
+    mae_cfg = MODEL_ZOO[model_name](
+        volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
+        patch_size=train_cfg.patch_size, dtype=train_cfg.compute_dtype,
+    )
+    vit_cfg = mae_cfg.encoder_vit_config(num_classes=data_cfg.num_classes,
+                                         global_pool=True)
+    model = build_model(vit_cfg)
+    s = vit_cfg.volume_size
+    sample = jnp.zeros((1, vit_cfg.in_chans, s, s, s), jnp.float32)
+    vit_vars = model.init({"params": jax.random.PRNGKey(train_cfg.seed)}, sample)
+    mae_params = load_params(checkpoint_path, _mae_params_template(mae_cfg, train_cfg.seed))
+    params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
+    params = head_init_2e5(params, jax.random.PRNGKey(train_cfg.seed + 7))
+
+    loader = Loader(ds_train, train_cfg.batch_size, shuffle=True, drop_last=True,
+                    seed=train_cfg.seed)
+    lr = train_cfg.lr if train_cfg.lr is not None else blr * train_cfg.batch_size / 256
+    sched = warmup_cosine_schedule(lr, train_cfg.min_lr, train_cfg.warmup_epochs,
+                                   train_cfg.epochs, max(len(loader), 1))
+    if fix_backbone:
+        tx = freeze_backbone_tx(params, make_sgd(sched, momentum=0.9))
+    else:
+        tx = make_layerwise_adamw(params, vit_cfg.depth, sched,
+                                  weight_decay=train_cfg.weight_decay,
+                                  layer_decay=layer_decay)
+    import jax.numpy as _jnp
+
+    state = TrainState(step=_jnp.zeros((), _jnp.int32), params=params, batch_stats={},
+                       opt_state=tx.init(params), tx=tx)
+    train_step, eval_step = make_supervised_steps(
+        model, num_classes=data_cfg.num_classes, class_weights=class_weights,
+        use_mixup=use_mixup,
+    )
+
+    tracker = BestModelTracker(os.path.join(work_dir, "checkpoints"))
+    jsonl = JsonlLogger(work_dir)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    val_loader = Loader(ds_val, train_cfg.batch_size, shuffle=False, drop_last=False)
+    for epoch in range(0 if eval_only else train_cfg.epochs):
+        for aug, _orig, lab in loader:
+            state, _m = train_step(state, aug, lab, rng)
+        train_stats = evaluate(eval_step, state.params,
+                               Loader(ds_train, train_cfg.batch_size, shuffle=False,
+                                      drop_last=False), train_cfg.batch_size)
+        val_stats = evaluate(eval_step, state.params, val_loader, train_cfg.batch_size)
+        tracker.update(val_stats, jax.device_get(state.params))
+        jsonl.write({**{f"train_val_{k}": v for k, v in train_stats.items()},
+                     **{f"val_{k}": v for k, v in val_stats.items()}, "epoch": epoch})
+
+    # final test evaluation of the three best checkpoints (fine_tune_epoch.py:436-443)
+    from vit_ae_plus_plus_tpu.train.checkpoint import load_params as _lp
+
+    test_loader = Loader(ds_test, train_cfg.batch_size, shuffle=False, drop_last=False)
+    results = {}
+    for name in tracker.names:
+        path = os.path.join(work_dir, "checkpoints", f"checkpoint-{name}")
+        if os.path.exists(path):
+            best = _lp(path, state.params)
+            results[name] = evaluate(eval_step, best, test_loader, train_cfg.batch_size)
+    return results
