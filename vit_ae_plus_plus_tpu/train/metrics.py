@@ -137,6 +137,15 @@ class TBWriter:
         for k, v in values.items():
             self._w.add_scalar(k, v, x)
 
+    def images(self, images_nchw, tag: str = "op_check"):
+        """Image grid (reference custom_operation_checks.py:49-52); no-op
+        without tensorboard."""
+        if self._w is None:
+            return
+        import torch
+
+        self._w.add_images(tag, torch.from_numpy(np.asarray(images_nchw)))
+
     def embedding(self, features, labels, tag: str = "ssl_embedding"):
         """TensorBoard embedding projector (reference
         feature_extraction.py:43-45); no-op without tensorboard."""
