@@ -16,6 +16,7 @@ config.ini section over the defaults (configs/ini.py).
 from __future__ import annotations
 
 import argparse
+import os
 import dataclasses
 import json
 import sys
@@ -88,7 +89,22 @@ def _configs(args) -> tuple:
     return data_cfg, train_cfg
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: folds re-create jitted steps (new
+    closures retrace) but the expensive XLA compile is reused across folds,
+    runs, and processes."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_compilation"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser("vit_ae_plus_plus_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
