@@ -20,15 +20,14 @@ pulling a scalar to the host.
 """
 
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_compilation"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def make_step(dtype: str, batch: int, attn_impl: str):

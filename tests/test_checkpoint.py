@@ -35,12 +35,12 @@ def test_manager_roundtrip_restores_epoch_and_state(tmp_path):
     state = _state()
     mgr = CheckpointManager(str(tmp_path / "ck"))
     state = state.replace(step=jnp.asarray(17))
-    mgr.save(3, state, epoch=3)
+    mgr.save(3, state, epoch=3, min_loss=1.25)
     mgr.wait()
 
     fresh = _state()
-    restored, epoch = mgr.restore(fresh)
-    assert epoch == 3
+    restored, epoch, min_loss = mgr.restore(fresh)
+    assert epoch == 3 and min_loss == 1.25
     assert int(restored.step) == 17
     np.testing.assert_allclose(
         np.asarray(restored.params["cls_token"]), np.asarray(state.params["cls_token"])
@@ -50,8 +50,9 @@ def test_manager_roundtrip_restores_epoch_and_state(tmp_path):
 def test_restore_without_checkpoint_is_noop(tmp_path):
     state = _state()
     mgr = CheckpointManager(str(tmp_path / "empty"))
-    restored, epoch = mgr.restore(state)
+    restored, epoch, min_loss = mgr.restore(state)
     assert epoch is None and restored is state  # None = no checkpoint (0 is valid)
+    assert min_loss == float("inf")
 
 
 def test_save_params_overwrites(tmp_path):

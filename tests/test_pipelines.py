@@ -194,3 +194,12 @@ def test_finetune_single_run(synthetic_brats, tmp_path):
     )
     assert "best_ft_model" in results
     assert 0.0 <= results["best_ft_model"]["roc_auc_score"] <= 1.0
+
+
+def test_op_check_images(tmp_path):
+    from vit_ae_plus_plus_tpu.pipelines.sanity_viz import (
+        check_patchify_roundtrip, op_check_images,
+    )
+    vol = np.random.default_rng(0).standard_normal((1, 16, 16, 16)).astype(np.float32)
+    assert check_patchify_roundtrip(vol[None], 4)
+    op_check_images(vol, str(tmp_path / "tb"))  # writes grid or no-ops cleanly

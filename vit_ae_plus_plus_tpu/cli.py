@@ -44,7 +44,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device-augment", action="store_true",
-                   help="run augmentation on-device (BraTS)")
+                   help="run augmentation on-device (BraTS and EGD)")
     p.add_argument("--resume", action="store_true",
                    help="resume folds from their periodic checkpoints")
     p.add_argument("--profile-dir", default=None,
@@ -89,22 +89,7 @@ def _configs(args) -> tuple:
     return data_cfg, train_cfg
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache: folds re-create jitted steps (new
-    closures retrace) but the expensive XLA compile is reused across folds,
-    runs, and processes."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_compilation"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main(argv=None):
-    _enable_compilation_cache()
     parser = argparse.ArgumentParser("vit_ae_plus_plus_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -159,6 +144,11 @@ def main(argv=None):
         return 0
 
     data_cfg, train_cfg = _configs(args)
+
+    if args.cmd not in ("eval-classical",):  # jax-backed subcommands
+        from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     if args.cmd == "pretrain-kfold":
         from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold

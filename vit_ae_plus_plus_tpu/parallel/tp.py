@@ -14,9 +14,10 @@ No hand-written collectives: the rules only pin PARAM shardings (via
 device_put); jit infers in_shardings from the committed placements and GSPMD
 emits the reduce(s) over ICI. Megatron-style, minus the manual comm.
 
-Note: use attn_impl='xla' under tensor parallelism — the Pallas flash kernel
-is a single-device program; partitioning it needs a shard_map wrapper (future
-work), whereas the XLA attention partitions automatically.
+Attention under TP: attn_impl='xla' partitions automatically via GSPMD;
+attn_impl='flash_tp' runs the Pallas flash kernel per-shard through
+jax.shard_map (see kernels/flash_attention.py) — it requires executing under
+`jax.set_mesh(mesh)` and head counts divisible by the 'model' axis size.
 """
 
 from __future__ import annotations

@@ -201,7 +201,9 @@ def finetune_single(
     SGD), per-epoch train + train/val evaluation, best models by 3 criteria,
     final test evaluation of each.
     """
+    import jax
     import jax.numpy as jnp
+
     from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
     from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
     from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
@@ -210,9 +212,6 @@ def finetune_single(
     from vit_ae_plus_plus_tpu.train.checkpoint import load_params
     from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
     from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
-    import jax
-    import numpy as np
-    import os
 
     ds_train = get_dataset(data_cfg.name, "train", data_cfg,
                            transforms=default_ssl_transforms(),
@@ -238,7 +237,9 @@ def finetune_single(
 
     loader = Loader(ds_train, train_cfg.batch_size, shuffle=True, drop_last=True,
                     seed=train_cfg.seed)
-    lr = train_cfg.lr if train_cfg.lr is not None else blr * train_cfg.batch_size / 256
+    # effective batch incl. grad accumulation (fine_tune_epoch.py:343-346)
+    eff_batch = train_cfg.batch_size * train_cfg.accum_iter
+    lr = train_cfg.lr if train_cfg.lr is not None else blr * eff_batch / 256
     sched = warmup_cosine_schedule(lr, train_cfg.min_lr, train_cfg.warmup_epochs,
                                    train_cfg.epochs, max(len(loader), 1))
     if fix_backbone:
@@ -247,9 +248,7 @@ def finetune_single(
         tx = make_layerwise_adamw(params, vit_cfg.depth, sched,
                                   weight_decay=train_cfg.weight_decay,
                                   layer_decay=layer_decay)
-    import jax.numpy as _jnp
-
-    state = TrainState(step=_jnp.zeros((), _jnp.int32), params=params, batch_stats={},
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
                        opt_state=tx.init(params), tx=tx)
     train_step, eval_step = make_supervised_steps(
         model, num_classes=data_cfg.num_classes, class_weights=class_weights,
@@ -272,13 +271,11 @@ def finetune_single(
                      **{f"val_{k}": v for k, v in val_stats.items()}, "epoch": epoch})
 
     # final test evaluation of the three best checkpoints (fine_tune_epoch.py:436-443)
-    from vit_ae_plus_plus_tpu.train.checkpoint import load_params as _lp
-
     test_loader = Loader(ds_test, train_cfg.batch_size, shuffle=False, drop_last=False)
     results = {}
     for name in tracker.names:
         path = os.path.join(work_dir, "checkpoints", f"checkpoint-{name}")
         if os.path.exists(path):
-            best = _lp(path, state.params)
+            best = load_params(path, state.params)
             results[name] = evaluate(eval_step, best, test_loader, train_cfg.batch_size)
     return results

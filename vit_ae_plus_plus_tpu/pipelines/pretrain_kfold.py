@@ -135,10 +135,12 @@ def pretrain_one_fold(
     resume_mgr = None
     if getattr(train_cfg, "resume", False):
         resume_mgr = CheckpointManager(os.path.join(ckpt_dir, "resume"), max_to_keep=1)
-        state, restored_epoch = resume_mgr.restore(state)
+        state, restored_epoch, restored_min = resume_mgr.restore(state)
         if restored_epoch is not None:
             start_epoch = restored_epoch + 1
-            print(f"Resumed fold {fold_idx} at epoch {start_epoch}")
+            min_loss = restored_min  # keep the pre-crash best
+            print(f"Resumed fold {fold_idx} at epoch {start_epoch} "
+                  f"(min loss so far {min_loss:.4f})")
 
     # optional profiler trace of the steady-state steps (SURVEY.md §5.1)
     profile_dir = getattr(train_cfg, "profile_dir", None)
@@ -193,16 +195,20 @@ def pretrain_one_fold(
         jsonl.write({**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch,
                      "fold": fold_idx})
         if resume_mgr is not None:
-            resume_mgr.save(epoch, state, epoch=epoch)
+            resume_mgr.save(epoch, state, epoch=epoch, min_loss=min_loss)
 
     if best_params is None:
         # resumed at (or past) the final epoch: reload the saved min-loss
         # checkpoint so feature extraction still has the best weights
         from vit_ae_plus_plus_tpu.train.checkpoint import load_params
 
-        best_params = load_params(
-            os.path.join(ckpt_dir, "checkpoint-min_loss"), jax.device_get(state.params)
-        )
+        ckpt = os.path.join(ckpt_dir, "checkpoint-min_loss")
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(
+                f"no epochs ran for fold {fold_idx} and no min-loss checkpoint "
+                f"exists at {ckpt} (start_epoch >= epochs on a fresh work dir?)"
+            )
+        best_params = load_params(ckpt, jax.device_get(state.params))
     print(f"Fold {fold_idx}: trained epochs [{start_epoch}, {train_cfg.epochs}) in "
           f"{time.time() - t_start:.0f}s, min loss {min_loss:.4f}")
     return mae_cfg, best_params, {"min_loss": min_loss}

@@ -15,7 +15,7 @@ Parity targets:
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import jax
@@ -121,3 +121,22 @@ def check_patchify_roundtrip(volume: np.ndarray, patch_size: int) -> bool:
     x = patchify(jnp.asarray(volume), patch_size)
     back = unpatchify(x, patch_size)
     return bool(jnp.allclose(back, jnp.asarray(volume)))
+
+
+def op_check_images(volume: np.ndarray, tb_log_dir: str, z: Optional[int] = None) -> None:
+    """Sobel / blur visual inspection to TensorBoard
+    (custom_operation_checks.py:39-52): write the centre slice of the volume,
+    its blur, and its edge map as an image grid."""
+    from vit_ae_plus_plus_tpu.ops import gaussian_blur_3d, sobel_edges_3d
+    from vit_ae_plus_plus_tpu.train.metrics import TBWriter
+
+    vol = jnp.asarray(volume)[None] if volume.ndim == 4 else jnp.asarray(volume)
+    z = z if z is not None else vol.shape[2] // 2
+    blur = gaussian_blur_3d(vol, 2.0)
+    edges = sobel_edges_3d(vol)[:, None]
+    imgs = []
+    for img in (vol[:, :1], blur[:, :1], edges):
+        sl = np.asarray(img[0, 0, z])
+        rng = sl.max() - sl.min()
+        imgs.append(((sl - sl.min()) / (rng if rng else 1.0))[None])
+    TBWriter(tb_log_dir).images(np.stack(imgs), tag="op_checks")

@@ -28,7 +28,8 @@ class CheckpointManager:
             self.directory, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
         )
 
-    def save(self, step: int, state, epoch: int = 0, metadata: Optional[Dict] = None) -> None:
+    def save(self, step: int, state, epoch: int = 0,
+             min_loss: float = float("inf")) -> None:
         if not is_main_process():
             return
         payload = {
@@ -37,21 +38,25 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": np.asarray(epoch),
+            "min_loss": np.asarray(min_loss, np.float64),
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore(self, state, step: Optional[int] = None):
-        """Returns (state, epoch); epoch is None when no checkpoint exists
-        (epoch 0 is a valid resumable checkpoint)."""
+        """Returns (state, epoch, min_loss); epoch is None when no checkpoint
+        exists (epoch 0 is a valid resumable checkpoint). min_loss restores
+        the best-so-far so a resumed run cannot overwrite the min-loss
+        checkpoint with worse weights."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
-            return state, None
+            return state, None, float("inf")
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": np.asarray(0),
+            "min_loss": np.asarray(0.0, np.float64),
         }
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         state = state.replace(
@@ -60,7 +65,7 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
-        return state, int(restored["epoch"])
+        return state, int(restored["epoch"]), float(restored["min_loss"])
 
     def wait(self):
         self._mgr.wait_until_finished()
