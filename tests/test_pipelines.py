@@ -203,3 +203,20 @@ def test_op_check_images(tmp_path):
     vol = np.random.default_rng(0).standard_normal((1, 16, 16, 16)).astype(np.float32)
     assert check_patchify_roundtrip(vol[None], 4)
     op_check_images(vol, str(tmp_path / "tb"))  # writes grid or no-ops cleanly
+
+
+def test_bf16_pretrain_saves_float32_features(synthetic_brats, tmp_path):
+    """bf16 compute must still save float32 features (numpy/sklearn cannot
+    read bfloat16 npy files)."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="bfloat16")
+    pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
+                   model_name="mae_vit_tiny_patch4", n_splits=2)
+    f = np.load(tmp_path / "w" / "ssl_features_dir"
+                / "train_contrast_ssl_features_split_0.npy")
+    assert f.dtype == np.float32
+    assert np.isfinite(f).all()

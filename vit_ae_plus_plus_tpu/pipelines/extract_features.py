@@ -66,7 +66,8 @@ def extract_ssl_features(
                 pad = batch_size - n
                 aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
             out = feat_step({"params": params}, aug)
-            feats.append(np.asarray(out)[:n])
+            # float32 on disk: bf16 npy is unreadable by the sklearn downstream
+            feats.append(np.asarray(out[:n], dtype=np.float32))
             labels.append(lab)
         np.save(os.path.join(out_dir, f"{split}_features.npy"), np.concatenate(feats))
         np.save(os.path.join(out_dir, f"{split}_gt_labels.npy"), np.concatenate(labels))

@@ -140,10 +140,10 @@ def evaluate(eval_step, params, loader, pad_batch: int) -> Dict[str, float]:
             aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
             labels_p = np.concatenate([labels, np.repeat(labels[:1], pad)])
             logits, loss = eval_step(params, aug, labels_p)
-            logits = np.asarray(logits)[:n]
+            logits = np.asarray(logits[:n], dtype=np.float32)
         else:
             logits, loss = eval_step(params, aug, labels)
-            logits = np.asarray(logits)
+            logits = np.asarray(logits, dtype=np.float32)
         all_logits.append(logits)
         all_labels.append(labels)
         losses.append(float(loss))

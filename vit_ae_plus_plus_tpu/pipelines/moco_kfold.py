@@ -209,7 +209,7 @@ def moco_kfold(
                     {"params": extract_params,
                      "batch_stats": jax.device_get(state.batch_stats)}, aug
                 )
-                feats.append(np.asarray(out)[:n])
+                feats.append(np.asarray(out[:n], dtype=np.float32))
                 labs.append(lab)
             np.save(os.path.join(feat_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy"),
                     np.concatenate(feats))

@@ -246,9 +246,11 @@ def extract_fold_features(
             pad = batch_size - aug.shape[0]
             filler = np.repeat(aug[:1], pad, axis=0)  # correct even when pad > n
             out = feat_step({"params": params}, np.concatenate([aug, filler], axis=0))
-            feats.append(np.asarray(out)[: aug.shape[0]])
+            # float32 on disk regardless of compute dtype: bf16 npy files are
+            # unreadable by the sklearn downstream (numpy has no bfloat16)
+            feats.append(np.asarray(out[: aug.shape[0]], dtype=np.float32))
         else:
-            feats.append(np.asarray(feat_step({"params": params}, aug)))
+            feats.append(np.asarray(feat_step({"params": params}, aug), dtype=np.float32))
         labels.append(lab)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy"),
