@@ -1,0 +1,74 @@
+"""get_models compat-shim parity (reference model/model_factory.py:9-29).
+
+The four dispatch names must return the same module *types* as the reference,
+and the reference-parity config must apply zero dropout: the reference accepts
+`drop_path` but DropPath is commented out there (model/vit.py:133-141), so a
+config with drop_path=0.1 trains with no stochastic regularisation at all.
+"""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_ae_plus_plus_tpu.models import get_models
+from vit_ae_plus_plus_tpu.models.mae import MaskedAutoencoderViT3D
+from vit_ae_plus_plus_tpu.models.vit import (
+    VisionTransformer3D,
+    VisionTransformer3DContrastive,
+)
+
+
+def _args(**kw):
+    base = dict(
+        model="mae_vit_tiny_patch4",
+        volume_size=16,
+        in_channels=1,
+        patch_size=4,
+        nb_classes=2,
+        global_pool=True,
+        drop_path=0.1,  # reference default config.ini value — must stay inert
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_factory_module_types():
+    m, _ = get_models("autoenc", _args())
+    assert isinstance(m, MaskedAutoencoderViT3D)
+    m, _ = get_models("autoenc_contr", _args(model="contr_mae_vit_tiny_patch4"))
+    assert isinstance(m, MaskedAutoencoderViT3D)
+    m, _ = get_models("vit", _args())
+    assert isinstance(m, VisionTransformer3D)
+    m, _ = get_models("contrastive", _args())
+    assert isinstance(m, VisionTransformer3DContrastive)
+    with pytest.raises(ValueError):
+        get_models("nope", _args())
+
+
+def test_vit_drop_path_is_inert():
+    """drop_path=0.1 must enable NO dropout (reference vit.py:133-141)."""
+    model, cfg = get_models("vit", _args())
+    assert cfg.drop_rate == 0.0 and cfg.attn_drop_rate == 0.0
+    x = jnp.ones((1, 1, 16, 16, 16))
+    # a model with live dropout would demand a 'dropout' rng in train mode
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    y1 = model.apply(variables, x, train=True)
+    y2 = model.apply(variables, x, train=True)
+    assert jnp.allclose(y1, y2)
+
+
+def test_contrastive_factory_two_view_forward():
+    model, _ = get_models("contrastive", _args(use_proj=True))
+    x = jnp.ones((2, 1, 16, 16, 16))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, x)
+    out, _ = model.apply(variables, x, x, mutable=["batch_stats"])
+    p1, p2, z1, z2 = out
+    assert p1.shape == z1.shape == (2, 2)  # nb_classes=2 head output feeds heads
+    # projector params must exist (built in the reference even when unused)
+    paths = [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    ]
+    assert any("projector" in p for p in paths)

@@ -104,18 +104,27 @@ def get_models(model_name: str, args) -> Tuple[nn.Module, Any]:
         )
         return build_model(cfg), cfg
     if model_name == "vit":
+        # args.drop_path feeds the reference's drop_path_rate, which is INERT
+        # there (DropPath is commented out, reference model/vit.py:133-141) —
+        # so it is deliberately ignored here; no dropout of any kind is enabled.
         cfg = vit_base_3d(
             num_classes=getattr(args, "nb_classes", 2),
             global_pool=getattr(args, "global_pool", True),
-            drop_rate=getattr(args, "drop_path", 0.0),
             **common,
         )
         return build_model(cfg), cfg
     if model_name == "contrastive":
+        # reference returns the contrastive variant with SimSiam heads
+        # (model/model_factory.py:24-27 -> model/vit.py:301-337)
+        from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3DContrastive
+
         cfg = vit_base_3d(
             num_classes=getattr(args, "nb_classes", 2),
             global_pool=getattr(args, "global_pool", True),
             **common,
         )
-        return build_model(cfg), cfg
+        return (
+            VisionTransformer3DContrastive(cfg, use_proj=getattr(args, "use_proj", False)),
+            cfg,
+        )
     raise ValueError(f"unknown model_name {model_name!r}")
