@@ -1,0 +1,81 @@
+"""Multi-host loader sharding math (data/loader.py:epoch_shard).
+
+DistributedSampler-equivalent guarantees the reference relies on
+(torch.utils.data.DistributedSampler used via SubsetRandomSampler loaders):
+every index visited each epoch, global per-epoch reshuffle identical across
+hosts, equal per-host batch counts even for non-divisible lengths.
+"""
+
+import numpy as np
+import pytest
+
+from vit_ae_plus_plus_tpu.data.loader import Loader, epoch_shard
+
+
+class _IdxDataset:
+    """__getitem__ -> (idx_volume, idx_volume, idx) so batches reveal indices."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        v = np.full((1, 2, 2, 2), float(i), np.float32)
+        return v, v, i
+
+
+@pytest.mark.parametrize("n_proc", [1, 2, 8])
+@pytest.mark.parametrize("n_items", [16, 17, 23])
+def test_epoch_shard_covers_every_index(n_proc, n_items):
+    indices = np.arange(n_items)
+    shards = [epoch_shard(indices, epoch=3, seed=0, rank=r, n_proc=n_proc)
+              for r in range(n_proc)]
+    # equal lengths (wrap padding, never a dropped remainder)
+    per = -(-n_items // n_proc)
+    assert all(len(s) == per for s in shards)
+    # union covers every index
+    assert set(np.concatenate(shards).tolist()) == set(indices.tolist())
+    if n_items % n_proc == 0:
+        # exactly-once partition in the divisible case
+        assert sorted(np.concatenate(shards).tolist()) == sorted(indices.tolist())
+
+
+def test_epoch_shard_reshuffles_globally_per_epoch():
+    indices = np.arange(32)
+    e1 = [epoch_shard(indices, 1, 0, r, 4) for r in range(4)]
+    e2 = [epoch_shard(indices, 2, 0, r, 4) for r in range(4)]
+    # different epochs -> different global order (not just within-shard)
+    assert not np.array_equal(np.concatenate(e1), np.concatenate(e2))
+    # the shard an index lands on changes across epochs (global, not static)
+    owner1 = {int(i): r for r, s in enumerate(e1) for i in s}
+    owner2 = {int(i): r for r, s in enumerate(e2) for i in s}
+    assert any(owner1[i] != owner2[i] for i in range(32))
+    # identical seed -> identical order on every "host" (determinism)
+    again = [epoch_shard(indices, 1, 0, r, 4) for r in range(4)]
+    for a, b in zip(e1, again):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n_proc,n_items", [(1, 10), (2, 11), (8, 19)])
+def test_sharded_loader_visits_all_and_balances(n_proc, n_items):
+    ds = _IdxDataset(n_items)
+    loaders = [
+        Loader(ds, batch_size=2, shuffle=True, drop_last=False, num_workers=1,
+               seed=7, shard_across_processes=True, rank=r, n_proc=n_proc)
+        for r in range(n_proc)
+    ]
+    assert len({len(l) for l in loaders}) == 1  # equal batch counts per host
+    seen = []
+    for l in loaders:
+        for _a, _o, labels in l:
+            seen.extend(int(x) for x in labels)
+    assert set(seen) == set(range(n_items))
+
+
+def test_unsharded_loader_unchanged():
+    ds = _IdxDataset(9)
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False, num_workers=1)
+    got = [int(x) for _a, _o, lab in loader for x in lab]
+    assert got == list(range(9))

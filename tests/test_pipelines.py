@@ -137,6 +137,49 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         assert f.shape[1] == 24  # trunk cls-token feature width
 
 
+def test_per_step_nan_guard_aborts_within_epoch(synthetic_brats, tmp_path):
+    """A NaN loss aborts after <= nan_check_every steps, not a whole epoch
+    (reference aborts per step, train_one_epoch.py:66-68)."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=0,
+                            compute_dtype="float32", lr=float("nan"),
+                            nan_check_every=1)
+    with pytest.raises(FloatingPointError, match="step"):
+        pretrain_kfold(data_cfg, train_cfg, str(tmp_path / "w"),
+                       model_name="mae_vit_tiny_patch4", n_splits=2)
+
+
+def test_moco_resnet_kfold_and_standalone_extract(synthetic_brats, tmp_path):
+    """MoCo with the ResNet-3D trunk (reference MoCo_ResNet, builder.py:101-111)
+    trained one epoch, then features re-extracted from the SAVED checkpoint
+    alone via the standalone entry (main_extract_ssl_features.py:100-284)."""
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_extract, moco_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    work = str(tmp_path / "w")
+    results = moco_kfold(
+        data_cfg, train_cfg, work, n_splits=2, arch="resnet", resnet_depth=10,
+        moco_dim=16, moco_mlp_dim=32, epochs=1, warmup_epochs=1,
+    )
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+    inline = np.load(os.path.join(work, "ssl_features_dir",
+                                  "train_contrast_ssl_features_split_0.npy"))
+    assert inline.shape[1] == 512  # ResNet-10 trunk feature width
+
+    # standalone re-extraction from the checkpoints on disk only
+    out = moco_extract(data_cfg, work, str(tmp_path / "re"), batch_size=4,
+                       arch="resnet", resnet_depth=10, moco_dim=16,
+                       moco_mlp_dim=32, n_splits=2, fold_idx=0)
+    re_feats = np.load(out["fold0_train"])
+    # same checkpoint + same data + same order -> identical features
+    np.testing.assert_allclose(re_feats, inline, rtol=1e-5, atol=1e-5)
+
+
 def test_pretrain_with_perceptual_term(synthetic_brats, tmp_path):
     """perceptual_weight != 0 wires the VGG metric term into the step (random
     weights here; stop-gradient semantics verified in objective tests)."""

@@ -94,8 +94,8 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     for name in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "finetune",
-                 "resnet-kfold", "moco-kfold", "extract-features", "eval-classical",
-                 "sanity-viz"):
+                 "resnet-kfold", "moco-kfold", "moco-extract", "extract-features",
+                 "eval-classical", "sanity-viz"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("probe-kfold", "finetune-kfold"):
@@ -112,6 +112,16 @@ def main(argv=None):
         if name == "extract-features":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--only-test-split", action="store_true")
+        if name in ("moco-kfold", "moco-extract"):
+            p.add_argument("--moco-arch", default="vit", choices=["vit", "resnet"],
+                           help="MoCo trunk (reference builder.py:101-124)")
+            p.add_argument("--resnet-depth", type=int, default=10)
+            p.add_argument("--moco-dim", type=int, default=256)
+            p.add_argument("--moco-mlp-dim", type=int, default=4096)
+        if name == "moco-extract":
+            p.add_argument("--checkpoint", required=True,
+                           help="moco_kfold work dir OR a single checkpoint path")
+            p.add_argument("--fold", type=int, default=None)
         if name == "eval-classical":
             p.add_argument("--feature-dir", required=True)
             p.add_argument("--method", default="svm", choices=["svm", "rf", "linear"])
@@ -179,7 +189,21 @@ def main(argv=None):
     elif args.cmd == "moco-kfold":
         from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
 
-        out = moco_kfold(data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits)
+        out = moco_kfold(
+            data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits,
+            arch=args.moco_arch, resnet_depth=args.resnet_depth,
+            moco_dim=args.moco_dim, moco_mlp_dim=args.moco_mlp_dim,
+        )
+    elif args.cmd == "moco-extract":
+        from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_extract
+
+        out = moco_extract(
+            data_cfg, args.checkpoint, args.work_dir, batch_size=args.batch_size,
+            arch=args.moco_arch, resnet_depth=args.resnet_depth,
+            moco_dim=args.moco_dim, moco_mlp_dim=args.moco_mlp_dim,
+            n_splits=args.n_splits, fold_idx=args.fold,
+            compute_dtype=args.compute_dtype,
+        )
     elif args.cmd == "extract-features":
         from vit_ae_plus_plus_tpu.pipelines.extract_features import extract_ssl_features
 

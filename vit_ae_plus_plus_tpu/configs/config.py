@@ -136,6 +136,10 @@ class TrainConfig:
     start_epoch: int = 0
     resume: bool = False  # restore params+optimiser+epoch from the fold's
     # periodic checkpoint (reference --resume, misc.py:315-329)
+    nan_check_every: int = 50  # pull the loss scalar to host every k steps and
+    # abort on non-finite (reference aborts per step, train_one_epoch.py:66-68;
+    # per-k keeps the no-per-step-sync pipeline while bounding wasted work to
+    # k steps). 0 disables; the per-epoch check always runs.
     profile_dir: Optional[str] = None  # jax.profiler trace of one steady epoch
     output_dir: str = "output_dir/k_fold"
     log_dir: str = "output_dir/k_fold"

@@ -30,19 +30,43 @@ def all_labels(dataset) -> np.ndarray:
     return np.full(len(dataset), -100)
 
 
+def epoch_shard(
+    indices,
+    epoch: int,
+    seed: int,
+    rank: int,
+    n_proc: int,
+    shuffle: bool = True,
+) -> np.ndarray:
+    """Per-epoch multi-host sharding, DistributedSampler-equivalent (torch's
+    sampler semantics the reference relies on: reshuffle GLOBALLY every epoch
+    with an identical seed on all ranks, pad by wrapping so every rank gets
+    the same batch count, never silently drop the remainder).
+
+    The global order is drawn from `seed + epoch` — identical on every host —
+    then dealt round-robin, so each original index is visited at least once
+    per epoch and exactly once when len(indices) % n_proc == 0.
+    """
+    order = np.asarray(indices).copy()
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    if n_proc == 1:
+        return order
+    per = -(-len(order) // n_proc)  # ceil: pad rather than drop
+    total = per * n_proc
+    if total > len(order):
+        order = np.concatenate([order, order[: total - len(order)]])
+    return order[rank::n_proc]
+
+
 def process_local_indices(indices) -> np.ndarray:
-    """Shard a global index list across hosts: each process loads only its
-    contiguous slice (the multi-host replacement for DistributedSampler —
-    reference misc.py:216-248 scaffolding)."""
+    """Static (epoch-independent) host shard of a global index list. Prefer
+    `Loader(..., shard_across_processes=True)`, which reshuffles globally every
+    epoch; this exists for one-shot sharding (e.g. eval loaders)."""
     import jax
 
-    n_proc = jax.process_count()
-    if n_proc == 1:
-        return np.asarray(indices)
-    idx = np.asarray(indices)
-    per = len(idx) // n_proc
-    r = jax.process_index()
-    return idx[r * per : (r + 1) * per]
+    return epoch_shard(indices, epoch=0, seed=0, rank=jax.process_index(),
+                       n_proc=jax.process_count(), shuffle=False)
 
 
 def all_items(dataset) -> Tuple[np.ndarray, np.ndarray]:
@@ -81,6 +105,9 @@ class Loader:
         num_workers: int = 8,
         prefetch: int = 2,
         seed: int = 0,
+        shard_across_processes: bool = False,
+        rank: Optional[int] = None,
+        n_proc: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -91,9 +118,20 @@ class Loader:
         self.prefetch = prefetch
         self._epoch = 0
         self._seed = seed
+        if shard_across_processes and (rank is None or n_proc is None):
+            import jax
+
+            rank = jax.process_index() if rank is None else rank
+            n_proc = jax.process_count() if n_proc is None else n_proc
+        self._rank = rank if shard_across_processes else 0
+        self._n_proc = n_proc if shard_across_processes else 1
+
+    def _local_len(self) -> int:
+        n = len(self.indices)
+        return -(-n // self._n_proc) if self._n_proc > 1 else n  # wrap-padded
 
     def __len__(self) -> int:
-        n = len(self.indices)
+        n = self._local_len()
         length = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
         if length == 0:
             raise ValueError(
@@ -103,9 +141,10 @@ class Loader:
         return length
 
     def _batches(self) -> Iterator[np.ndarray]:
-        order = self.indices.copy()
-        if self.shuffle:
-            np.random.default_rng(self._seed + self._epoch).shuffle(order)
+        order = epoch_shard(
+            self.indices, self._epoch, self._seed, self._rank, self._n_proc,
+            shuffle=self.shuffle,
+        )
         n_batches = len(self)
         for b in range(n_batches):
             yield order[b * self.batch_size : (b + 1) * self.batch_size]

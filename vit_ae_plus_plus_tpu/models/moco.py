@@ -75,6 +75,43 @@ class MoCoViT3D(nn.Module):
             z = self.predictor(z, train=train)
         return z
 
+    def trunk_features(self, x, train: bool = False):
+        """Projector-free trunk features — what the reference extracts after
+        stripping the 'base_encoder.' prefix and the head
+        (main_extract_ssl_features.py:184-195)."""
+        return self.trunk(x, train=train)
+
+
+class MoCoResNet3D(nn.Module):
+    """ResNet-3D trunk variant (MoCo_ResNet, reference builder.py:101-111):
+    2-layer projector grafted in place of `fc`, and — unlike the ViT variant —
+    a 2-layer predictor WITHOUT the trailing BN (builder.py:111 passes
+    last_bn=False only for ResNet). Trunk: moco/resent3d_base.py:1-242, shared
+    here with the supervised baseline (models/resnet3d.py)."""
+
+    depth: int = 10
+    dim: int = 256
+    mlp_dim: int = 4096
+
+    def setup(self):
+        from vit_ae_plus_plus_tpu.models.resnet3d import ResNet3D
+
+        # n_classes is irrelevant: the fc head is never called (deleted in the
+        # reference, builder.py:104) — return_features bypasses it
+        self.trunk = ResNet3D(depth=self.depth, n_classes=0)
+        self.projector = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=True)
+        self.predictor = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=False)
+
+    def __call__(self, x, train: bool = True, use_predictor: bool = False):
+        feats = self.trunk(x, train=train, return_features=True)
+        z = self.projector(feats, train=train)
+        if use_predictor:
+            z = self.predictor(z, train=train)
+        return z
+
+    def trunk_features(self, x, train: bool = False):
+        return self.trunk(x, train=train, return_features=True)
+
 
 def ema_update(momentum_params, base_params, m: float):
     """param_m = m * param_m + (1 - m) * param_b (builder.py:57-61)."""

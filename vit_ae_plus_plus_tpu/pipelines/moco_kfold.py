@@ -29,9 +29,14 @@ from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig, ViTConfig
 from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
 from vit_ae_plus_plus_tpu.data.loader import all_labels
 from vit_ae_plus_plus_tpu.data.splits import kfold_indices
-from vit_ae_plus_plus_tpu.models.moco import MoCoViT3D, ema_update, moco_loss
+from vit_ae_plus_plus_tpu.models.moco import (
+    MoCoResNet3D,
+    MoCoViT3D,
+    ema_update,
+    moco_loss,
+)
 from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
-from vit_ae_plus_plus_tpu.train.checkpoint import save_params
+from vit_ae_plus_plus_tpu.train.checkpoint import load_params, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_lars
 
@@ -102,6 +107,26 @@ def make_moco_train_step(model, temperature: float = 1.0):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def build_moco_model(
+    data_cfg: DataConfig,
+    compute_dtype: str = "float32",
+    arch: str = "vit",
+    resnet_depth: int = 10,
+    moco_dim: int = 256,
+    moco_mlp_dim: int = 4096,
+    vit_overrides: Optional[Dict] = None,
+):
+    """MoCo model for either trunk (reference builder.py:101-124)."""
+    if arch == "resnet":
+        return MoCoResNet3D(depth=resnet_depth, dim=moco_dim, mlp_dim=moco_mlp_dim)
+    vit_cfg = ViTConfig(
+        volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
+        num_classes=0, global_pool=False, dtype=compute_dtype,
+        **(vit_overrides or {}),
+    )
+    return MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
+
+
 def moco_kfold(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -118,6 +143,8 @@ def moco_kfold(
     epochs: Optional[int] = None,
     folds=None,
     vit_overrides: Optional[Dict] = None,
+    arch: str = "vit",
+    resnet_depth: int = 10,
 ) -> Dict:
     epochs = epochs if epochs is not None else train_cfg.epochs
     transforms = default_ssl_transforms()
@@ -132,12 +159,10 @@ def moco_kfold(
     )
     jsonl = JsonlLogger(work_dir)
 
-    vit_cfg = ViTConfig(
-        volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
-        num_classes=0, global_pool=False, dtype=train_cfg.compute_dtype,
-        **(vit_overrides or {}),
+    model = build_moco_model(
+        data_cfg, train_cfg.compute_dtype, arch, resnet_depth,
+        moco_dim, moco_mlp_dim, vit_overrides,
     )
-    model = MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
 
     two_crops = TwoCropsDataset(dataset_v1)
     results = {}
@@ -163,7 +188,9 @@ def moco_kfold(
         )
         train_step = make_moco_train_step(model, temperature)
 
-        min_loss, best = float("inf"), None
+        ckpt_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
+                                 "checkpoint-min_loss")
+        min_loss = float("inf")
         for epoch in range(epochs):
             epoch_losses = []
             for i, (v1, v2, _lab) in enumerate(loader):
@@ -177,48 +204,117 @@ def moco_kfold(
             mean_loss = float(np.mean([float(l) for l in epoch_losses]))
             if mean_loss < min_loss:
                 min_loss = mean_loss
-                best = jax.device_get(state.params)
-                save_params(
-                    os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
-                                 "checkpoint-min_loss"),
-                    best,
-                )
+                # params AND the matching batch_stats: the reference saves and
+                # reloads the full state_dict incl. BN buffers
+                # (main_3d_moco_k_fold.py:261-268, 295-322)
+                save_params(ckpt_path, {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                })
             jsonl.write({"train_loss": mean_loss, "epoch": epoch, "fold": fold_idx})
         results[fold_idx] = {"min_loss": min_loss}
 
-        # feature extraction from the MIN-LOSS trunk, as the reference reloads
-        # min_loss.pth.tar before extracting (main_3d_moco_k_fold.py:295-322)
-        extract_params = best if best is not None else jax.device_get(state.params)
-        feat_model = MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
+        # feature extraction FROM THE SAVED min-loss checkpoint, as the
+        # reference reloads min_loss.pth.tar before extracting
+        # (main_3d_moco_k_fold.py:295-322)
         feat_dir = os.path.join(work_dir, "ssl_features_dir")
-        os.makedirs(feat_dir, exist_ok=True)
         for tag, ids in (("train", train_ids), ("test", _test_ids)):
-            fl = Loader(dataset_no_aug, train_cfg.batch_size, indices=np.sort(ids),
-                        shuffle=False, drop_last=False)
-            feats, labs = [], []
-            trunk_apply = jax.jit(
-                lambda p, b: feat_model.apply(p, b, train=False, use_predictor=False,
-                                              method=_trunk_features)
+            extract_moco_features(
+                model, ckpt_path, dataset_no_aug, np.sort(ids),
+                train_cfg.batch_size, feat_dir, tag, fold_idx,
             )
-            for aug, _orig, lab in fl:
-                n = aug.shape[0]
-                if n < train_cfg.batch_size:
-                    pad = train_cfg.batch_size - n
-                    aug = np.concatenate([aug, np.repeat(aug[:1], pad, axis=0)])
-                out = trunk_apply(
-                    {"params": extract_params,
-                     "batch_stats": jax.device_get(state.batch_stats)}, aug
-                )
-                feats.append(np.asarray(out[:n], dtype=np.float32))
-                labs.append(lab)
-            np.save(os.path.join(feat_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy"),
-                    np.concatenate(feats))
-            np.save(os.path.join(feat_dir, f"{tag}_contrast_ssl_labels_split_{fold_idx}.npy"),
-                    np.concatenate(labs))
     return results
 
 
-def _trunk_features(module: MoCoViT3D, x, train: bool = False, use_predictor: bool = False):
-    """Features from the trunk only (cls token), as the reference extracts from
-    base_encoder without the projector head."""
-    return module.trunk(x, train=train)
+def extract_moco_features(
+    model,
+    checkpoint_path: str,
+    dataset,
+    ids,
+    batch_size: int,
+    out_dir: str,
+    tag: str,
+    fold_idx: int,
+) -> str:
+    """Trunk-only features from any saved MoCo checkpoint (the standalone
+    extractor — reference main_extract_ssl_features.py:100-284; the
+    'base_encoder.' prefix stripping there has no analogue because the trunk
+    params are addressed directly in the variables tree)."""
+    s_dims = dataset[0][0].shape  # (C, D, H, W)
+    sample = jnp.zeros((1, *s_dims), jnp.float32)
+    template = jax.tree.map(
+        np.zeros_like,
+        jax.device_get(model.init({"params": jax.random.PRNGKey(0)}, sample,
+                                  use_predictor=True)),
+    )
+    restored = load_params(checkpoint_path, {
+        "params": template["params"],
+        "batch_stats": template.get("batch_stats", {}),
+    })
+    trunk_apply = jax.jit(
+        lambda v, b: model.apply(v, b, train=False, method=model.trunk_features)
+    )
+    loader = Loader(dataset, batch_size, indices=ids, shuffle=False, drop_last=False)
+    feats, labs = [], []
+    for aug, _orig, lab in loader:
+        n = aug.shape[0]
+        if n < batch_size:  # pad final partial batch for static shapes
+            aug = np.concatenate([aug, np.repeat(aug[:1], batch_size - n, axis=0)])
+        out = trunk_apply(restored, aug)
+        feats.append(np.asarray(out[:n], dtype=np.float32))
+        labs.append(lab)
+    os.makedirs(out_dir, exist_ok=True)
+    feat_path = os.path.join(out_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy")
+    np.save(feat_path, np.concatenate(feats))
+    np.save(os.path.join(out_dir, f"{tag}_contrast_ssl_labels_split_{fold_idx}.npy"),
+            np.concatenate(labs))
+    return feat_path
+
+
+def moco_extract(
+    data_cfg: DataConfig,
+    checkpoint: str,
+    work_dir: str,
+    batch_size: int = 4,
+    arch: str = "vit",
+    resnet_depth: int = 10,
+    moco_dim: int = 256,
+    moco_mlp_dim: int = 4096,
+    n_splits: int = 3,
+    fold_idx: Optional[int] = None,
+    compute_dtype: str = "float32",
+    vit_overrides: Optional[Dict] = None,
+) -> Dict:
+    """Standalone CLI entry: re-extract features from existing MoCo
+    checkpoint(s) without retraining (reference
+    main_extract_ssl_features.py:100-284). When `checkpoint` is a work dir
+    produced by moco_kfold, every fold's min-loss checkpoint is processed
+    (restricted to `fold_idx` if given); a direct checkpoint path extracts
+    the 'whole' dataset once."""
+    model = build_moco_model(data_cfg, compute_dtype, arch, resnet_depth,
+                             moco_dim, moco_mlp_dim, vit_overrides)
+    dataset = get_dataset(data_cfg.name, "whole", data_cfg, transforms=None,
+                          use_z_score=data_cfg.use_z_score)
+    out_dir = os.path.join(work_dir, "ssl_features_dir")
+    kfold_root = os.path.join(checkpoint, "checkpoints")
+    results = {}
+    if os.path.isdir(kfold_root):
+        labels = all_labels(dataset)
+        fold_list = kfold_indices(
+            labels, n_splits,
+            index_dir=os.path.join(checkpoint, "k_fold", "indices_file"),
+        )
+        for idx, (train_ids, test_ids) in enumerate(fold_list):
+            if fold_idx is not None and idx != fold_idx:
+                continue
+            ckpt = os.path.join(kfold_root, f"fold_{idx}", "checkpoint-min_loss")
+            for tag, ids in (("train", train_ids), ("test", test_ids)):
+                results[f"fold{idx}_{tag}"] = extract_moco_features(
+                    model, ckpt, dataset, np.sort(ids), batch_size, out_dir, tag, idx,
+                )
+    else:
+        results["whole"] = extract_moco_features(
+            model, checkpoint, dataset, np.arange(len(dataset)), batch_size,
+            out_dir, "whole", fold_idx or 0,
+        )
+    return results

@@ -78,12 +78,13 @@ def pretrain_one_fold(
             )
         )
 
-    from vit_ae_plus_plus_tpu.data.loader import process_local_indices
-
     loader = Loader(
-        dataset_aug, train_cfg.batch_size,
-        indices=process_local_indices(train_ids),  # per-host shard (multi-host)
+        dataset_aug, train_cfg.batch_size, indices=train_ids,
         shuffle=True, drop_last=True, seed=train_cfg.seed,
+        # multi-host: global per-epoch reshuffle (identical seed on all hosts)
+        # then round-robin shard with wrap padding — DistributedSampler
+        # semantics, no silently dropped remainder (data/loader.py:epoch_shard)
+        shard_across_processes=True,
     )
     steps_per_epoch = len(loader)
     n_data = mesh.shape["data"] if mesh is not None else 1
@@ -165,6 +166,17 @@ def pretrain_one_fold(
             state, metrics = step(state, aug, orig, rng, edge_w)
             sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
             count += 1
+            k = getattr(train_cfg, "nan_check_every", 0)
+            if k and count % k == 0:
+                # bounded-waste NaN abort (reference checks per step,
+                # train_one_epoch.py:66-68); this is the only host sync
+                # inside the epoch and runs once per k steps
+                step_loss = float(metrics["loss"])
+                if not np.isfinite(step_loss):
+                    raise FloatingPointError(
+                        f"Loss is {step_loss} at fold {fold_idx} epoch {epoch} "
+                        f"step {count}, stopping training"
+                    )
         stats = {k: float(v) / count for k, v in jax.device_get(sums).items()}
         epoch_time = time.time() - epoch_t0  # device_get above synced the stream
         stats["volumes_per_sec"] = count * train_cfg.batch_size * (
