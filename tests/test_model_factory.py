@@ -65,7 +65,9 @@ def test_contrastive_factory_two_view_forward():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, x)
     out, _ = model.apply(variables, x, x, mutable=["batch_stats"])
     p1, p2, z1, z2 = out
-    assert p1.shape == z1.shape == (2, 2)  # nb_classes=2 head output feeds heads
+    # heads operate at embed_dim: the reference's only runnable configuration
+    # is num_classes == 0 / head = Identity (model/vit.py:311-337)
+    assert p1.shape == z1.shape == (2, 768)
     # projector params must exist (built in the reference even when unused)
     paths = [
         jax.tree_util.keystr(p)

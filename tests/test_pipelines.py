@@ -137,6 +137,35 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         assert f.shape[1] == 24  # trunk cls-token feature width
 
 
+def test_contrastive_train_end_to_end(synthetic_brats, tmp_path):
+    """Stage-2 contrastive ViT trainer (reference's dormant 2-view loop,
+    utils/train_one_epoch.py:117-181)."""
+    from vit_ae_plus_plus_tpu.pipelines.contrastive import contrastive_train
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=2, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32")
+    out = contrastive_train(
+        data_cfg, train_cfg, str(tmp_path / "w"), use_proj=True,
+        vit_overrides=dict(embed_dim=24, depth=1, num_heads=3),
+    )
+    assert np.isfinite(out["min_loss"])
+    # negative symmetric cosine is bounded in [-1, 1] (tiny tolerance for fp)
+    assert -1.001 <= out["min_loss"] <= 1.001
+    assert os.path.isdir(out["checkpoint"])
+
+
+def test_explore_data_demo(synthetic_brats, tmp_path):
+    """BraTS data-exploration demo (reference data_exploration.py:9-28)."""
+    from vit_ae_plus_plus_tpu.pipelines.sanity_viz import plot_one_slice
+
+    png = str(tmp_path / "slice.png")
+    sl = plot_one_slice(os.path.join(synthetic_brats, "x_whole_ssl.npy"),
+                        out_path=png)
+    assert sl.shape == (16, 16) and os.path.exists(png)
+
+
 def test_per_step_nan_guard_aborts_within_epoch(synthetic_brats, tmp_path):
     """A NaN loss aborts after <= nan_check_every steps, not a whole epoch
     (reference aborts per step, train_one_epoch.py:66-68)."""

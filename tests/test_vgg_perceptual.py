@@ -90,3 +90,49 @@ def test_build_perceptual_random_fallback():
     model, params, fn = build_perceptual(None)
     v = jnp.zeros((1, 1, 8, 32, 32))
     assert float(fn(v, v)) == 0.0
+
+
+def make_torchvision_vgg16():
+    """The exact torchvision vgg16 module layout (tv.vgg16().features indices
+    0-30 + classifier keys), built locally — no egress, no torchvision import.
+    Classifier shapes are shrunk (they must merely EXIST to prove the
+    converter ignores them, as the reference loads with strict=False,
+    perceptual_loss.py:20-24)."""
+    import torch.nn as nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(in_ch, v, 3, padding=1), nn.ReLU(inplace=True)]
+            in_ch = v
+    return nn.ModuleDict({"features": nn.Sequential(*layers),
+                          "classifier": nn.Sequential(nn.Linear(8, 8), nn.ReLU(),
+                                                      nn.Linear(8, 8))})
+
+
+def test_torchvision_shaped_checkpoint_roundtrip(tmp_path):
+    """An actual torch-saved, torchvision-shaped VGG16 state_dict (all 13
+    feature convs + classifier keys) converts through build_perceptual and
+    reproduces the torch oracle's tap activations (VERDICT #8a; reference
+    perceptual_loss.py:15-24)."""
+    torch.manual_seed(0)
+    module = make_torchvision_vgg16()
+    # keys come out as features.{i}.weight etc — identical to torchvision
+    sd = module.state_dict()
+    assert "features.0.weight" in sd and "features.21.weight" in sd
+    assert "features.28.weight" in sd and "classifier.0.weight" in sd
+    path = str(tmp_path / "vgg16_ckpt.pth")
+    torch.save(sd, path)
+
+    model, params, fn = build_perceptual(path)
+    x = np.random.default_rng(3).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    got = model.apply({"params": params}, jnp.asarray(x))
+    np_sd = {k: v.numpy() for k, v in sd.items() if k.startswith("features.")}
+    want = torch_taps(x, np_sd)
+    for g, w in zip(got, want):
+        g = np.asarray(g).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(g, w.numpy(), rtol=1e-3, atol=1e-4)

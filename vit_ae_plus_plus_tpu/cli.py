@@ -95,7 +95,7 @@ def main(argv=None):
 
     for name in ("pretrain-kfold", "probe-kfold", "finetune-kfold", "finetune",
                  "resnet-kfold", "moco-kfold", "moco-extract", "extract-features",
-                 "eval-classical", "sanity-viz"):
+                 "eval-classical", "sanity-viz", "contrastive-train"):
         p = sub.add_parser(name)
         _add_common(p)
         if name in ("probe-kfold", "finetune-kfold"):
@@ -128,6 +128,16 @@ def main(argv=None):
         if name == "sanity-viz":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--num-samples", type=int, default=2)
+        if name == "contrastive-train":
+            p.add_argument("--use-proj", action="store_true",
+                           help="apply the 3-layer projector (reference use_proj)")
+
+    explore = sub.add_parser("explore-data",
+                             help="plot one augmented slice (reference "
+                                  "dataset/brats_dataset/data_exploration.py)")
+    explore.add_argument("--volumes", required=True, help="flair_all.npy path")
+    explore.add_argument("--out", default=None, help="PNG output (else show)")
+    explore.add_argument("--sample", type=int, default=0)
 
     prep = sub.add_parser("prepare-data")
     prep.add_argument("kind", choices=["brats", "egd"])
@@ -139,6 +149,12 @@ def main(argv=None):
     prep.add_argument("--overwrite", action="store_true")
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "explore-data":
+        from vit_ae_plus_plus_tpu.pipelines.sanity_viz import plot_one_slice
+
+        plot_one_slice(args.volumes, out_path=args.out, sample_idx=args.sample)
+        return 0
 
     if args.cmd == "prepare-data":
         from vit_ae_plus_plus_tpu.data import splits as S
@@ -212,6 +228,11 @@ def main(argv=None):
             batch_size=args.batch_size, only_test_split=args.only_test_split,
             patch_size=args.patch_size, compute_dtype=args.compute_dtype,
         )
+    elif args.cmd == "contrastive-train":
+        from vit_ae_plus_plus_tpu.pipelines.contrastive import contrastive_train
+
+        out = contrastive_train(data_cfg, train_cfg, args.work_dir,
+                                use_proj=args.use_proj)
     elif args.cmd == "eval-classical":
         from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_features
 

@@ -240,9 +240,16 @@ class VisionTransformer3DContrastive(nn.Module):
     use_proj: bool = False
 
     def setup(self):
-        self.trunk = VisionTransformer3D(self.cfg)
-        dim = self.cfg.num_classes if self.cfg.num_classes > 0 else self.cfg.embed_dim
-        self.heads = ContrastiveHeads(dim, use_proj=self.use_proj, dtype=_dt(self.cfg.dtype))
+        # The reference routes the trunk's FULL forward (head applied) into
+        # heads built at embed_dim (model/vit.py:311-337) — which can only
+        # execute when num_classes == 0 (head = Identity); any other value
+        # crashes there with a shape mismatch. We therefore build the only
+        # runnable configuration: headless trunk, heads at embed_dim.
+        trunk_cfg = ViTConfig(**{**self.cfg.__dict__, "num_classes": 0})
+        self.trunk = VisionTransformer3D(trunk_cfg)
+        self.heads = ContrastiveHeads(
+            self.cfg.embed_dim, use_proj=self.use_proj, dtype=_dt(self.cfg.dtype)
+        )
 
     def __call__(self, x1, x2, train: bool = True):
         z1 = self.trunk(x1, train=train)

@@ -140,3 +140,37 @@ def op_check_images(volume: np.ndarray, tb_log_dir: str, z: Optional[int] = None
         rng = sl.max() - sl.min()
         imgs.append(((sl - sl.min()) / (rng if rng else 1.0))[None])
     TBWriter(tb_log_dir).images(np.stack(imgs), tag="op_checks")
+
+
+def plot_one_slice(volumes_path: str, out_path: Optional[str] = None,
+                   sample_idx: int = 0, seed: int = 0) -> np.ndarray:
+    """BraTS data-exploration demo (reference dataset/brats_dataset/
+    data_exploration.py:9-28): load the raw volume store, augment one sample
+    with the demo policy (affine + blur + noise(0.5) + gamma), and plot the
+    centre slice. Saves a PNG when `out_path` is given (headless-friendly),
+    otherwise shows interactively; returns the slice array either way."""
+    from vit_ae_plus_plus_tpu.data.transforms import (
+        Compose, RandomAffine3D, RandomBlur, RandomGamma, RandomNoise,
+    )
+
+    data = np.load(volumes_path, mmap_mode="r")
+    print(f"Original shape {data.shape}")
+    vol = np.asarray(data[sample_idx]).transpose(3, 0, 1, 2)  # (C, D, H, W)
+    policy = Compose([RandomAffine3D(), RandomBlur(), RandomNoise(std=0.5),
+                      RandomGamma(log_gamma=(-0.3, 0.3))])
+    vol = policy(vol, np.random.default_rng(seed))
+    one_slice = vol[0, vol.shape[1] // 2]
+    import matplotlib
+
+    if out_path:
+        matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    plt.imshow(one_slice)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        plt.savefig(out_path)
+        plt.close()
+    else:
+        plt.show()
+    return one_slice
