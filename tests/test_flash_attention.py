@@ -48,6 +48,29 @@ def test_flash_gradients_match_xla():
         )
 
 
+@pytest.mark.parametrize("n,d", [(433, 64), (229, 32)])
+def test_flash_gradients_fused_single_block_k(n, d):
+    """Default block resolution puts the whole (ragged) KV row in ONE block,
+    which routes the backward through the fused dq+dk+dv kernel."""
+    q, k, v = _make_qkv(jax.random.PRNGKey(3), 2, 2, n, d)
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        # block_q=128, block_k=None -> padded-to-256 single K block (fused bwd)
+        o = flash_attention(q, k, v, scale, 128, None, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
+        )
+
+
 def test_flash_default_scale_is_rsqrt_head_dim():
     q, k, v = _make_qkv(jax.random.PRNGKey(2), 1, 1, 64, 16)
     got = flash_attention(q, k, v, None, 64, 64, True)

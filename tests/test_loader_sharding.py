@@ -79,3 +79,31 @@ def test_unsharded_loader_unchanged():
     loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False, num_workers=1)
     got = [int(x) for _a, _o, lab in loader for x in lab]
     assert got == list(range(9))
+
+
+def test_device_prefetch_order_completeness_and_sharding():
+    """device_prefetch must preserve batch order/count, move aug/orig onto
+    devices (committed, sharded when a sharding is given) and pass labels
+    through untouched."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vit_ae_plus_plus_tpu.data.loader import device_prefetch
+
+    ds = _IdxDataset(16)
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=True, num_workers=1)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    got = list(device_prefetch(loader, size=2, sharding=sharding))
+    assert len(got) == len(loader) == 4
+    labels = [int(x) for _a, _o, lab in got for x in lab]
+    assert labels == list(range(16))
+    for aug, orig, _ in got:
+        assert isinstance(aug, jax.Array) and isinstance(orig, jax.Array)
+        assert aug.sharding.is_equivalent_to(sharding, aug.ndim)
+
+    # no sharding: plain device arrays, same content
+    got2 = list(device_prefetch(loader, size=3))
+    assert [int(x) for _a, _o, lab in got2 for x in lab] == list(range(16))
+    assert all(isinstance(a, jax.Array) for a, _o, _l in got2)

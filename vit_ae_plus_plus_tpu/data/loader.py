@@ -92,6 +92,41 @@ class ConcatDataset:
         return self.datasets[ds_idx][item - int(self._offsets[ds_idx])]
 
 
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Async double-buffered host->device transfer.
+
+    Wraps a batch iterator so the NEXT batch's `jax.device_put` (an async DMA)
+    is issued while the device is still executing the current step — the H2D
+    copy cost disappears behind compute. The reference's loop instead moved
+    tensors synchronously under `cuda.synchronize()` every iteration
+    (train_one_epoch.py:47-48,76). `sharding` (e.g. NamedSharding(mesh,
+    P('data'))) places each array directly into its sharded layout, so GSPMD
+    never re-lays-out the batch. Labels and other non-float arrays ride along
+    untouched.
+
+    Yields the same (aug, orig, labels) tuples with aug/orig as committed
+    device arrays.
+    """
+    import collections
+
+    import jax
+
+    def put(batch):
+        aug, orig, labels = batch
+        if sharding is not None:
+            return (jax.device_put(aug, sharding), jax.device_put(orig, sharding), labels)
+        return (jax.device_put(aug), jax.device_put(orig), labels)
+
+    buf = collections.deque()
+    it = iter(iterator)
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Loader:
     """Iterable over (augmented, original, labels) numpy batches."""
 

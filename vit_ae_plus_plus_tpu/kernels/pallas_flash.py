@@ -30,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Tuned on TPU v5e (see BASELINE.md): BQ=256 amortises per-program overhead;
 # the key axis uses a SINGLE block whenever the padded sequence fits in VMEM
@@ -193,6 +194,66 @@ def _dkv_kernel(
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
+def _fused_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+    dq_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, block_q, kv_len,
+):
+    """dQ, dK, dV in ONE pass for the single-block-K layout (whole KV row
+    resident in VMEM). One program per (b, h); loops over query blocks,
+    writing each dq block and accumulating dk/dv in f32 scratch.
+
+    Versus the classic two-kernel FlashAttention backward (separate dQ and
+    dK/dV kernels) this halves the score/p recomputation: S and dP are built
+    once per (q, k) block pair instead of twice, and delta = rowsum(dO * O)
+    is computed inline instead of in an XLA prepass over (B, H, N, D).
+    Padded dO rows are zero, so padded queries contribute nothing to dk/dv
+    and no query masking is needed; padded key columns are masked in S.
+    """
+    k = k_ref[:].astype(jnp.float32)  # (PK, D)
+    v = v_ref[:].astype(jnp.float32)
+    nq = q_ref.shape[0] // block_q
+
+    dk_acc[:] = jnp.zeros_like(dk_acc)
+    dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    key_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1) < kv_len
+    )  # (1, PK): single K block always carries the ragged tail
+
+    def body(iq, _):
+        q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
+        o = o_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(iq * block_q, block_q), :]
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (BQ, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(key_mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, PK)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[pl.ds(iq * block_q, block_q), :] = (dq * scale).astype(dq_ref.dtype)
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nq, body, 0)
+    dk_ref[:] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _pad_len(n: int, block: int) -> int:
     return ((n + block - 1) // block) * block
 
@@ -243,6 +304,44 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
     qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
     dop = _pad_seq(do, pq)
+
+    if pk == block_k:
+        # single-block-K fast path: one fused kernel computes dq + dk + dv
+        # with a single S/P build per (q, k) block pair and inline delta.
+        # block_q capped at 256: the four (block_q, PK) f32 score buffers must
+        # fit scoped VMEM alongside the resident row (>16 MB at 512).
+        block_q = min(block_q, 256)
+        pq = _pad_len(n_q, block_q)
+        qp, dop = _pad_seq(q, pq), _pad_seq(do, pq)
+        # fwd may have padded further (larger fwd block_q): align o/lse to pq
+        o_p, lse_p = o_padded[:, :, :pq], lse[:, :, :pq]
+        seq_spec = lambda bq: pl.BlockSpec((None, None, bq, d), lambda b, h: (b, h, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _fused_bwd_kernel, scale=scale, block_q=block_q, kv_len=n_kv
+            ),
+            grid=(b, h),
+            in_specs=[
+                seq_spec(pq),  # q
+                seq_spec(pk),  # k
+                seq_spec(pk),  # v
+                seq_spec(pq),  # do
+                seq_spec(pq),  # o
+                pl.BlockSpec((None, None, pq, 1), lambda b, h: (b, h, 0, 0)),  # lse
+            ],
+            out_specs=[seq_spec(pq), seq_spec(pk), seq_spec(pk)],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, pk, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, pk, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((pk, d), jnp.float32),
+                pltpu.VMEM((pk, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp, dop, o_p, lse_p)
+        return dq[:, :, :n_q], dk[:, :, :n_kv], dv[:, :, :n_kv]
 
     # delta = rowsum(dO * O) per query row (f32), kept as (b, h, pq, 1)
     delta = jnp.sum(

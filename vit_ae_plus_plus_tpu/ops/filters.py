@@ -76,6 +76,21 @@ def _band_matrix(taps: np.ndarray, size: int, dtype) -> jnp.ndarray:
 _AXIS_EINSUM = {0: "bczyx,zw->bcwyx", 1: "bczyx,yw->bczwx", 2: "bczyx,xw->bczyw"}
 
 
+def _edge_magnitude(sq_sum: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with the true subgradient at 0.
+
+    The reference's `torch.sqrt(gx^2+gy^2+gz^2)` (sobel_filter.py:38-44) has
+    gradient gi/mag, which is NaN where the volume is locally constant
+    (gx=gy=gz=0 exactly) — a live hazard once the MAE's prediction develops
+    flat regions; the gradient then poisons the whole step. Forward value is
+    identical; the backward uses the Euclidean norm's subgradient 0 at the
+    origin (double-where trick so the 0-branch contributes a hard zero).
+    """
+    positive = sq_sum > 0
+    safe = jnp.where(positive, sq_sum, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
+
+
 def _apply_1d(vol: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
     """1-D cross-correlation along spatial `axis` of (N, C, Z, Y, X) as a
     banded-matrix einsum (runs on the MXU)."""
@@ -98,7 +113,7 @@ def sobel_edges_3d(volume: jnp.ndarray) -> jnp.ndarray:
     gy = _apply_1d(_apply_1d(sz, _DERIV, 1), _SMOOTH, 2)
     # gz: derivative along z, smoothing along y and x
     gz = _apply_1d(_apply_1d(sy, _DERIV, 0), _SMOOTH, 2)
-    mag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    mag = _edge_magnitude(gx * gx + gy * gy + gz * gz)
     return mag.sum(axis=1)
 
 
@@ -110,7 +125,7 @@ def sobel_edges_3d_conv(volume: jnp.ndarray) -> jnp.ndarray:
     g = lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1, 1), padding="SAME", dimension_numbers=_CONV_DNUMS
     )
-    mag = jnp.sqrt(jnp.sum(g * g, axis=1))
+    mag = _edge_magnitude(jnp.sum(g * g, axis=1))
     return mag.reshape(n, c, *spatial).sum(axis=1)
 
 

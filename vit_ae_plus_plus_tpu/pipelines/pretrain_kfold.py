@@ -29,10 +29,10 @@ import jax.numpy as jnp
 
 from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
 from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
-from vit_ae_plus_plus_tpu.data.loader import all_labels
+from vit_ae_plus_plus_tpu.data.loader import all_labels, device_prefetch
 from vit_ae_plus_plus_tpu.data.splits import kfold_indices
 from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
-from vit_ae_plus_plus_tpu.parallel import make_mesh, replicate, shard_batch
+from vit_ae_plus_plus_tpu.parallel import make_mesh, replicate
 from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
 from vit_ae_plus_plus_tpu.train import (
     create_train_state,
@@ -157,9 +157,18 @@ def pretrain_one_fold(
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.start_trace(profile_dir)
         epoch_t0 = time.time()
-        for aug, orig, _ in logger.log_every(loader, header=f"Fold {fold_idx} Epoch [{epoch}]"):
-            if mesh is not None:
-                aug, orig = shard_batch((aug, orig), mesh)
+        # async double-buffered H2D: the next batch's device_put overlaps the
+        # current step's compute (data/loader.py:device_prefetch); with a mesh
+        # the batch lands directly in its P('data') sharded layout
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P("data"))
+        batches = device_prefetch(loader, size=2, sharding=batch_sharding)
+        for aug, orig, _ in logger.log_every(
+            batches, header=f"Fold {fold_idx} Epoch [{epoch}]", length=len(loader)
+        ):
             if device_aug is not None:
                 aug_key = jax.random.fold_in(jax.random.fold_in(rng, epoch), count)
                 aug, orig = device_aug(aug_key, jnp.asarray(aug))

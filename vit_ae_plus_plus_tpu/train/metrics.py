@@ -77,10 +77,14 @@ class MetricLogger:
     def __str__(self):
         return self.delimiter.join(f"{n}: {m}" for n, m in self.meters.items())
 
-    def log_every(self, iterable: Iterable, header: str = ""):
+    def log_every(self, iterable: Iterable, header: str = "", length: int = None):
         """Iterator wrapper printing progress/ETA/iter-time/data-time
-        (reference misc.py:123-167)."""
-        i, total = 0, len(iterable) if hasattr(iterable, "__len__") else None
+        (reference misc.py:123-167). `length` overrides len() for generators
+        (e.g. a device_prefetch wrapper around a sized loader)."""
+        i = 0
+        total = length if length is not None else (
+            len(iterable) if hasattr(iterable, "__len__") else None
+        )
         iter_time, data_time = SmoothedValue(fmt="{avg:.4f}"), SmoothedValue(fmt="{avg:.4f}")
         start = time.time()
         end = time.time()
