@@ -98,7 +98,7 @@ def measure_e2e_epoch(batch: int = 16, n_volumes: int = 160) -> float:
                         seed=epoch)
         nonlocal state
         count = 0
-        for aug, orig, _ in device_prefetch(loader, size=2):
+        for aug, orig, _ in device_prefetch(loader, size=2, put_orig=False):
             akey = jax.random.fold_in(rng, count)
             aug, orig = device_aug(akey, aug)
             state, metrics = step(state, aug, orig, rng, w)

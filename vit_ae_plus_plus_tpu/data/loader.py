@@ -92,7 +92,7 @@ class ConcatDataset:
         return self.datasets[ds_idx][item - int(self._offsets[ds_idx])]
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator, size: int = 2, sharding=None, put_orig: bool = True):
     """Async double-buffered host->device transfer.
 
     Wraps a batch iterator so the NEXT batch's `jax.device_put` (an async DMA)
@@ -105,7 +105,10 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     untouched.
 
     Yields the same (aug, orig, labels) tuples with aug/orig as committed
-    device arrays.
+    device arrays. `put_orig=False` skips the second view's transfer — the
+    device-augment path derives BOTH views on-device from the raw batch
+    (ops/augment.py:device_augment_batch), so shipping `orig` (identical raw
+    bytes) would double the H2D traffic for nothing.
     """
     import collections
 
@@ -114,8 +117,12 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     def put(batch):
         aug, orig, labels = batch
         if sharding is not None:
-            return (jax.device_put(aug, sharding), jax.device_put(orig, sharding), labels)
-        return (jax.device_put(aug), jax.device_put(orig), labels)
+            return (
+                jax.device_put(aug, sharding),
+                jax.device_put(orig, sharding) if put_orig else orig,
+                labels,
+            )
+        return (jax.device_put(aug), jax.device_put(orig) if put_orig else orig, labels)
 
     buf = collections.deque()
     it = iter(iterator)

@@ -43,25 +43,13 @@ def multihead_attention(
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
     interpret = jax.default_backend() != "tpu"  # pallas compiles only on TPU
-    if impl == "flash":
+    if impl in ("flash", "flash_tp"):
+        # The kernel self-shards over (batch, heads) via custom_partitioning
+        # (pallas_flash._def_bh_partition): under a ('data', 'model') mesh the
+        # per-shard program runs on local heads with NO ambient jax.set_mesh
+        # or call-site shard_map. 'flash_tp' is a legacy alias from the round-1
+        # shard_map design.
         from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
         return flash_attention(q, k, v, scale, interpret=interpret)
-    if impl == "flash_tp":
-        # Pallas kernels are single-device programs, so under tensor
-        # parallelism the kernel runs per-shard via shard_map: heads split
-        # over 'model', batch over 'data'. Requires the caller to execute
-        # under `jax.set_mesh(mesh)` (see parallel/tp.py) and head counts
-        # divisible by the 'model' axis size.
-        from jax.sharding import PartitionSpec as P
-
-        from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
-
-        mesh = jax.sharding.get_abstract_mesh()
-        spec = P("data", "model", None, None)
-        sharded = jax.shard_map(
-            lambda q, k, v: flash_attention(q, k, v, scale, interpret=interpret),
-            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec, check_vma=False,
-        )
-        return sharded(q, k, v)
     raise ValueError(f"unknown attention impl {impl!r}")

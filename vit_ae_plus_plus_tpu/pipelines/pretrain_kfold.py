@@ -165,7 +165,12 @@ def pretrain_one_fold(
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sharding = NamedSharding(mesh, P("data"))
-        batches = device_prefetch(loader, size=2, sharding=batch_sharding)
+        batches = device_prefetch(
+            loader, size=2, sharding=batch_sharding,
+            # device-augment derives both views on-device from the raw batch:
+            # shipping `orig` too would double H2D traffic for nothing
+            put_orig=device_aug is None,
+        )
         for aug, orig, _ in logger.log_every(
             batches, header=f"Fold {fold_idx} Epoch [{epoch}]", length=len(loader)
         ):
