@@ -123,45 +123,36 @@ class JsonlLogger:
 
 
 class TBWriter:
-    """TensorBoard scalars with the reference's epoch_1000x x-axis; silently
-    disabled if tensorboard isn't importable."""
+    """TensorBoard scalars with the reference's epoch_1000x x-axis.
+
+    Backed by the framework's native event writer (utils/tb_events.py) — no
+    torch, no tensorboard package at runtime (the reference logs through
+    torch's SummaryWriter, utils/train_one_epoch.py:90-101)."""
 
     def __init__(self, log_dir: str):
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        from vit_ae_plus_plus_tpu.utils.tb_events import EventWriter
 
-            self._w = SummaryWriter(log_dir=log_dir)
-        except Exception:
-            self._w = None
+        self._dir = log_dir
+        self._w = EventWriter(log_dir)
 
     def scalars(self, values: Dict[str, float], epoch_frac: float):
-        if self._w is None:
-            return
         x = int(epoch_frac * 1000)
         for k, v in values.items():
-            self._w.add_scalar(k, v, x)
+            self._w.scalar(k, float(v), x)
 
     def images(self, images_nchw, tag: str = "op_check"):
-        """Image grid (reference custom_operation_checks.py:49-52); no-op
-        without tensorboard."""
-        if self._w is None:
-            return
-        import torch
+        """Image grid (reference custom_operation_checks.py:49-52)."""
+        from vit_ae_plus_plus_tpu.utils.tb_events import image_grid
 
-        self._w.add_images(tag, torch.from_numpy(np.asarray(images_nchw)))
+        self._w.image(tag, image_grid(np.asarray(images_nchw)), 0)
 
     def embedding(self, features, labels, tag: str = "ssl_embedding"):
         """TensorBoard embedding projector (reference
-        feature_extraction.py:43-45); no-op without tensorboard."""
-        if self._w is None:
-            return
-        import torch
+        feature_extraction.py:43-45) via checkpoint-free TSV tensors."""
+        from vit_ae_plus_plus_tpu.utils.tb_events import write_projector
 
-        self._w.add_embedding(
-            torch.from_numpy(np.asarray(features)),
-            metadata=[int(x) for x in labels], tag=tag,
-        )
+        write_projector(self._dir, np.asarray(features),
+                        [int(x) for x in labels], tag=tag)
 
     def flush(self):
-        if self._w is not None:
-            self._w.flush()
+        self._w.flush()
