@@ -118,6 +118,23 @@ class RandomBlur(Transform):
         return out
 
 
-def default_ssl_transforms() -> Compose:
-    """The pretraining policy (k_fold_…_brats.py:93-97)."""
+def default_ssl_transforms(native: str = "auto") -> Compose:
+    """The pretraining policy (k_fold_…_brats.py:93-97).
+
+    `native='auto'` uses the C++ kernels (native/augment3d.cpp via
+    data/native_augment.py — same parameter distributions, ~20x faster per
+    volume) when the library builds on this machine, scipy otherwise;
+    'never' forces scipy, 'require' raises if the library is unavailable.
+    """
+    if native != "never":
+        from vit_ae_plus_plus_tpu.data import native_augment as na
+
+        if na.available():
+            return Compose([
+                na.NativeRandomAffine3D(),
+                na.NativeRandomNoise(std=0.1),
+                na.NativeRandomGamma((-0.3, 0.3)),
+            ])
+        if native == "require":
+            raise RuntimeError("native augmentation library unavailable (no g++?)")
     return Compose([RandomAffine3D(), RandomNoise(std=0.1), RandomGamma((-0.3, 0.3))])
