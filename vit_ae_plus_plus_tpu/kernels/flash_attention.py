@@ -38,6 +38,12 @@ def multihead_attention(
     """
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
+        # measured crossover (BASELINE.md): flash wins decisively at 1729
+        # tokens (decoder/feature ViT); at the 433-token masked encoder the
+        # chained kernel alone is faster (24.4 vs 35.0 ms fwd+bwd x12) but
+        # the (B,H,N,D) layout transitions around it give XLA's fused-einsum
+        # attention the edge IN-MODEL (104 vs 110 ms for the 12-layer stack),
+        # so xla stays the short-sequence choice.
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = "flash" if (on_tpu and q.shape[-2] >= 1024) else "xla"
     if impl == "xla":

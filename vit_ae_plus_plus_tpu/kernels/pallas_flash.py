@@ -47,7 +47,10 @@ def _default_blocks(n_kv: int, block_q, block_k, dtype):
     The single-block-K fast path needs ~4 score-sized f32 buffers in VMEM, so
     its ceiling depends on the input dtype (f32 K/V double-buffers too)."""
     if block_q is None:
-        block_q = DEFAULT_BLOCK_Q
+        # short sequences: one q-block per (b, h) program measured fastest at
+        # the encoder shape (B32 H12 N433 D64: 24.4 vs 27.2 ms fwd+bwd x12);
+        # long sequences prefer 256 (decoder N1729: 7.5 vs 7.8 ms fwd)
+        block_q = 512 if n_kv <= 512 else DEFAULT_BLOCK_Q
     if block_k is None:
         single_max = 2048 if dtype == jnp.bfloat16 else 1024
         pk = _pad_len(n_kv, 256)
@@ -83,6 +86,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
+        if isinstance(ik, int) and (ik + 1) * block_k > kv_len:
+            # ragged tail may be backed by a ragged Pallas edge block whose
+            # padding is GARBAGE (not zeros): p for those columns is exactly 0
+            # via the -inf score mask, but 0 * garbage-v could still be NaN in
+            # the PV matmul — zero the tail v rows explicitly ((BK, 1) mask
+            # broadcast over lanes: a full-shape iota would cost ~1 MB VMEM)
+            row = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (v.shape[0], 1), 0
+            )
+            v = jnp.where(row < kv_len, v, 0.0)
         return _mask_last_block(s, ik, block_k, kv_len), v
 
     if nk == 1:
@@ -198,7 +211,7 @@ def _fused_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, block_q, kv_len,
+    *, scale, block_q, kv_len, q_len,
 ):
     """dQ, dK, dV in ONE pass for the single-block-K layout (whole KV row
     resident in VMEM). One program per (b, h); loops over query blocks,
@@ -208,31 +221,52 @@ def _fused_bwd_kernel(
     dK/dV kernels) this halves the score/p recomputation: S and dP are built
     once per (q, k) block pair instead of twice, and delta = rowsum(dO * O)
     is computed inline instead of in an XLA prepass over (B, H, N, D).
-    Padded dO rows are zero, so padded queries contribute nothing to dk/dv
-    and no query masking is needed; padded key columns are masked in S.
+
+    Ragged edges are Pallas edge blocks whose padding is GARBAGE, so tails
+    are masked in-kernel: k/v tail rows are zeroed once (a 0-score column is
+    killed by the -inf index mask, but garbage +-inf in k/v would still make
+    0 * inf = NaN in the matmuls), and for the final query block p/do/o rows
+    past q_len are zeroed so dead queries contribute nothing to dk/dv.
     """
     k = k_ref[:].astype(jnp.float32)  # (PK, D)
     v = v_ref[:].astype(jnp.float32)
-    nq = q_ref.shape[0] // block_q
+    pq, pk = q_ref.shape[0], k.shape[0]
+    nq = pq // block_q
+
+    if pk > kv_len:
+        kv_row = jax.lax.broadcasted_iota(jnp.int32, (pk, 1), 0) < kv_len
+        k = jnp.where(kv_row, k, 0.0)
+        v = jnp.where(kv_row, v, 0.0)
 
     dk_acc[:] = jnp.zeros_like(dk_acc)
     dv_acc[:] = jnp.zeros_like(dv_acc)
 
     key_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1) < kv_len
+        jax.lax.broadcasted_iota(jnp.int32, (1, pk), 1) < kv_len
     )  # (1, PK): single K block always carries the ragged tail
 
-    def body(iq, _):
+    def body(iq, ragged):
         q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         o = o_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[pl.ds(iq * block_q, block_q), :]
+        if ragged:
+            q_row = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (do.shape[0], 1), 0
+            )
+            dead = q_row >= q_len
+            do = jnp.where(dead, 0.0, do)
+            o = jnp.where(dead, 0.0, o)
+            q = jnp.where(dead, 0.0, q)  # dead rows feed dk via ds^T q
         delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (BQ, 1)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         s = jnp.where(key_mask, s, _NEG_INF)
         p = jnp.exp(s - lse)  # (BQ, PK)
+        if ragged:
+            # dead rows' lse is garbage: exp may be inf/NaN — select kills it
+            p = jnp.where(dead, 0.0, p)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -249,7 +283,8 @@ def _fused_bwd_kernel(
         )
         return 0
 
-    jax.lax.fori_loop(0, nq, body, 0)
+    jax.lax.fori_loop(0, nq - 1, lambda iq, _: body(iq, False), 0)
+    body(nq - 1, pq > q_len)
     dk_ref[:] = (dk_acc[:] * scale).astype(dk_ref.dtype)
     dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
@@ -272,8 +307,35 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
     n_kv = k.shape[2]
     block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
-    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
 
+    if block_k >= n_kv:
+        # single-block-K fast path, PAD-FREE: ragged Pallas edge blocks stand
+        # in for the explicit jnp.pad/slice pairs (those cost full HBM copies
+        # of q/k/v per call); garbage edge padding is masked in-kernel.
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv
+        )
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=(b, h, pl.cdiv(n_q, block_q)),
+            in_specs=[
+                pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, k, v)
+        return o, (lse, o)
+
+    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
     grid = (b, h, pq // block_q)
     kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, kv_len=n_kv)
     o, lse = pl.pallas_call(
@@ -302,28 +364,27 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
     n_kv = k.shape[2]
     block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
-    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
-    dop = _pad_seq(do, pq)
 
     if pk == block_k:
-        # single-block-K fast path: one fused kernel computes dq + dk + dv
-        # with a single S/P build per (q, k) block pair and inline delta.
-        # block_q capped at 256: the four (block_q, PK) f32 score buffers must
-        # fit scoped VMEM alongside the resident row (>16 MB at 512).
-        block_q = min(block_q, 256)
+        # single-block-K fast path, PAD-FREE (ragged edge blocks, garbage
+        # masked in-kernel): one fused kernel computes dq + dk + dv with a
+        # single S/P build per (q, k) block pair and inline delta.
+        # q-block 128 for the fused kernel: M=128 fills exactly one MXU tile,
+        # so the TOTAL tile count equals any larger block choice, while the
+        # four (block_q, PK) f32 score buffers stay half the size — the whole
+        # kernel then fits scoped VMEM even at PK=2048 with ragged edges.
+        block_q = min(block_q, 128)
         pq = _pad_len(n_q, block_q)
-        qp, dop = _pad_seq(q, pq), _pad_seq(do, pq)
-        # fwd may have padded further (larger fwd block_q): align o/lse to pq
-        o_p, lse_p = o_padded[:, :, :pq], lse[:, :, :pq]
         seq_spec = lambda bq: pl.BlockSpec((None, None, bq, d), lambda b, h: (b, h, 0, 0))
         dq, dk, dv = pl.pallas_call(
             functools.partial(
-                _fused_bwd_kernel, scale=scale, block_q=block_q, kv_len=n_kv
+                _fused_bwd_kernel, scale=scale, block_q=block_q, kv_len=n_kv,
+                q_len=n_q,
             ),
             grid=(b, h),
             in_specs=[
-                seq_spec(pq),  # q
-                seq_spec(pk),  # k
+                seq_spec(pq),  # q (ragged when pq > n_q)
+                seq_spec(pk),  # k (ragged when pk > n_kv)
                 seq_spec(pk),  # v
                 seq_spec(pq),  # do
                 seq_spec(pq),  # o
@@ -331,17 +392,20 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
             ],
             out_specs=[seq_spec(pq), seq_spec(pk), seq_spec(pk)],
             out_shape=[
-                jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
-                jax.ShapeDtypeStruct((b, h, pk, d), k.dtype),
-                jax.ShapeDtypeStruct((b, h, pk, d), v.dtype),
+                jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, n_kv, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, n_kv, d), v.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((pk, d), jnp.float32),
                 pltpu.VMEM((pk, d), jnp.float32),
             ],
             interpret=interpret,
-        )(qp, kp, vp, dop, o_p, lse_p)
-        return dq[:, :, :n_q], dk[:, :, :n_kv], dv[:, :, :n_kv]
+        )(q, k, v, do, o_padded, lse)
+        return dq, dk, dv
+
+    qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
+    dop = _pad_seq(do, pq)
 
     # delta = rowsum(dO * O) per query row (f32), kept as (b, h, pq, 1)
     delta = jnp.sum(
