@@ -74,3 +74,25 @@ def test_contrastive_factory_two_view_forward():
         for p, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     ]
     assert any("projector" in p for p in paths)
+
+
+def test_fastdec_preset_same_params_different_heads():
+    """The opt-in fast decoder changes ONLY the decoder head split (8 x d64
+    instead of the reference's 16 x d32): identical parameter shapes, width,
+    depth — the MXU-friendly non-parity variant documented in models/zoo.py."""
+    import dataclasses
+
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO
+
+    base = MODEL_ZOO["contr_mae_vit_base_patch16"](volume_size=16, patch_size=4)
+    fast = MODEL_ZOO["contr_mae_vit_base_patch16_fastdec"](volume_size=16, patch_size=4)
+    assert base.decoder_num_heads == 16 and fast.decoder_num_heads == 8
+    # head count is the ONLY difference: parameter shapes depend on the other
+    # fields alone (heads only reshape the qkv activations), so the variant is
+    # checkpoint-compatible with the parity architecture
+    diffs = {
+        f.name
+        for f in dataclasses.fields(base)
+        if getattr(base, f.name) != getattr(fast, f.name)
+    }
+    assert diffs == {"decoder_num_heads"}
