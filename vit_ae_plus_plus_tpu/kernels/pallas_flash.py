@@ -130,15 +130,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
         acc, m, l = online(nk - 1, acc, m, l)
 
     o_ref[:] = (acc / l).astype(o_ref.dtype)
-    lse_ref[:] = m + jnp.log(l)  # (BQ, 1)
+    # lse is stored LANE-oriented as (1, BQ): a (B, H, N, 1) residual would
+    # tile-pad its unit lane dim 128x in HBM (226 MB instead of 1.8 MB per
+    # decoder layer at B16 — seen in the B32 OOM dump); the tiny in-register
+    # transpose here buys that back
+    lse_ref[:] = (m + jnp.log(l)).T  # (1, BQ)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len):
     """dQ for one (b, h, q_block): loop over key blocks."""
     q = q_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[:]    # (BQ, 1)
-    delta = delta_ref[:]  # (BQ, 1)
+    lse = lse_ref[:].T    # stored (1, BQ) lane-oriented -> (BQ, 1)
+    delta = delta_ref[:].T  # same
     nk = k_ref.shape[0] // block_k
 
     def body(ik, dq):
@@ -175,8 +179,8 @@ def _dkv_kernel(
         dk, dv = carry
         q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(iq * block_q, block_q), :]
-        delta = delta_ref[pl.ds(iq * block_q, block_q), :]
+        lse = lse_ref[:, pl.ds(iq * block_q, block_q)].T  # (1, PQ)-stored
+        delta = delta_ref[:, pl.ds(iq * block_q, block_q)].T
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
@@ -249,7 +253,7 @@ def _fused_bwd_kernel(
         q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         o = o_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(iq * block_q, block_q), :]
+        lse = lse_ref[:, pl.ds(iq * block_q, block_q)].T  # (1, PQ)-stored
         if ragged:
             q_row = iq * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (do.shape[0], 1), 0
@@ -325,11 +329,13 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
             ],
             out_specs=[
                 pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
-                pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
-                jax.ShapeDtypeStruct((b, h, n_q, 1), jnp.float32),
+                # lane-oriented (B, H, 1, N): a trailing unit dim would
+                # tile-pad 128x in HBM (226 MB/decoder layer at B16)
+                jax.ShapeDtypeStruct((b, h, 1, n_q), jnp.float32),
             ],
             interpret=interpret,
         )(q, k, v)
@@ -348,11 +354,11 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, pq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, pq), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp)
@@ -388,7 +394,7 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
                 seq_spec(pk),  # v
                 seq_spec(pq),  # do
                 seq_spec(pq),  # o
-                pl.BlockSpec((None, None, pq, 1), lambda b, h: (b, h, 0, 0)),  # lse
+                pl.BlockSpec((None, None, 1, pq), lambda b, h: (b, h, 0, 0)),  # lse
             ],
             out_specs=[seq_spec(pq), seq_spec(pk), seq_spec(pk)],
             out_shape=[
@@ -407,10 +413,11 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
     qp, kp, vp = _pad_seq(q, pq), _pad_seq(k, pk), _pad_seq(v, pk)
     dop = _pad_seq(do, pq)
 
-    # delta = rowsum(dO * O) per query row (f32), kept as (b, h, pq, 1)
+    # delta = rowsum(dO * O) per query row (f32), lane-oriented (b, h, 1, pq)
+    # to match the lse storage layout (no 128x unit-lane tile padding)
     delta = jnp.sum(
-        dop.astype(jnp.float32) * o_padded.astype(jnp.float32), axis=-1, keepdims=True
-    )
+        dop.astype(jnp.float32) * o_padded.astype(jnp.float32), axis=-1
+    )[:, :, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=block_k, kv_len=n_kv),
@@ -420,8 +427,8 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
             pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, None, pk, d), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i: (b, h, 0, i)),
         ],
         out_specs=pl.BlockSpec((None, None, block_q, d), lambda b, h, i: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, pq, d), q.dtype),
@@ -436,8 +443,8 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
             pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((None, None, pq, d), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, pq, 1), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, pq, 1), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, 1, pq), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, 1, pq), lambda b, h, i: (b, h, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
@@ -511,9 +518,10 @@ def _fwd_cp(scale, block_q, block_k, interpret):
         n_out=3,
         operand_mappings=(("b", "h", "n", "d"),) + (("b", "h", "m", "d"),) * 2,
         result_mappings=(
-            ("b", "h", "n", "d"), ("b", "h", "p", "u"), ("b", "h", "p", "d"),
+            # lse is lane-oriented (b, h, 1, n') — factor u is the unit dim
+            ("b", "h", "n", "d"), ("b", "h", "u", "p"), ("b", "h", "p", "d"),
         ),
-        need_repl=("n", "d", "m", "p", "u"),
+        need_repl=("n", "d", "m", "u", "p"),
     )
 
 
@@ -530,7 +538,7 @@ def _bwd_cp(scale, block_q, block_k, interpret):
             ("b", "h", "m", "d"),
             ("b", "h", "m", "d"),
             ("b", "h", "p", "d"),
-            ("b", "h", "p", "u"),
+            ("b", "h", "u", "p"),
             ("b", "h", "n", "d"),
         ),
         result_mappings=(
