@@ -106,3 +106,30 @@ def test_flash_self_sharding_under_mesh():
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(gw), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
         )
+
+
+@pytest.mark.parametrize("b,h,n,d", [(2, 6, 433, 64), (2, 4, 96, 32), (1, 3, 512, 64)])
+def test_flash_multihead_grouped_path(b, h, n, d):
+    """Default blocks + short sequence routes through the grouped multi-head
+    kernels (_mh_fwd_kernel/_mh_bwd_kernel): fwd + all grads must match the
+    naive reference."""
+    q, k, v = _make_qkv(jax.random.PRNGKey(11), b, h, n, d)
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale, None, None, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    got = flash_attention(q, k, v, scale, None, None, True)
+    want = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
+        )

@@ -38,14 +38,15 @@ def multihead_attention(
     """
     scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        # measured crossover (BASELINE.md): flash wins decisively at 1729
-        # tokens (decoder/feature ViT); at the 433-token masked encoder the
-        # chained kernel alone is faster (24.4 vs 35.0 ms fwd+bwd x12) but
-        # the (B,H,N,D) layout transitions around it give XLA's fused-einsum
-        # attention the edge IN-MODEL (104 vs 110 ms for the 12-layer stack),
-        # so xla stays the short-sequence choice.
+        # measured crossovers (BASELINE.md): the blockwise kernel wins
+        # decisively at 1729 tokens; at the 433-token masked encoder the
+        # GROUPED multi-head kernel (pallas_flash._mh_fwd_kernel, one program
+        # per head group) beats XLA's fused-einsum attention in-model
+        # (76.9 vs 84.9 ms fwd+bwd for the 12-layer stack) — per-program
+        # overhead dominated the per-head grid there. Tiny sequences stay on
+        # xla (materialised scores are cheap, kernel dispatch is not).
         on_tpu = jax.devices()[0].platform == "tpu"
-        impl = "flash" if (on_tpu and q.shape[-2] >= 1024) else "xla"
+        impl = "flash" if (on_tpu and q.shape[-2] >= 384) else "xla"
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
     interpret = jax.default_backend() != "tpu"  # pallas compiles only on TPU

@@ -293,6 +293,110 @@ def _fused_bwd_kernel(
     dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _mh_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+    """Multi-head forward for SHORT sequences: one program handles a GROUP of
+    heads (refs are (G, N, D)), amortising per-program dispatch/DMA overhead
+    that dominates when each head's matmuls are only a few MXU tiles (the
+    433-token masked encoder: grid (b, h, 1) left ~2/3 of the time in
+    per-program overhead). Whole sequence in one block; ragged tails masked
+    as in the blockwise kernels."""
+    g = q_ref.shape[0]
+    pk = k_ref.shape[1]
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, pk), 1)
+    kv_row = jax.lax.broadcasted_iota(jnp.int32, (pk, 1), 0)
+    for j in range(g):
+        q = q_ref[j].astype(jnp.float32)  # (PQ, D)
+        k = k_ref[j].astype(jnp.float32)  # (PK, D)
+        v = v_ref[j].astype(jnp.float32)
+        if pk > kv_len:
+            v = jnp.where(kv_row < kv_len, v, 0.0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if pk > kv_len:
+            s = jnp.where(key_col < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[j] = (acc / l).astype(o_ref.dtype)
+        lse_ref[j] = (m + jnp.log(l)).T  # (1, PQ) lane-oriented
+
+
+def _mh_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, scale, kv_len, q_len,
+):
+    """Multi-head fused backward for short sequences: per head-group program,
+    single (N, N) score rebuild, dq/dk/dv all emitted. Masking mirrors
+    _fused_bwd_kernel (ragged edge padding is garbage)."""
+    g, pq = q_ref.shape[0], q_ref.shape[1]
+    pk = k_ref.shape[1]
+    key_col = jax.lax.broadcasted_iota(jnp.int32, (1, pk), 1)
+    kv_row = jax.lax.broadcasted_iota(jnp.int32, (pk, 1), 0)
+    q_row = jax.lax.broadcasted_iota(jnp.int32, (pq, 1), 0)
+    ragged_q = pq > q_len
+    for j in range(g):
+        q = q_ref[j].astype(jnp.float32)
+        k = k_ref[j].astype(jnp.float32)
+        v = v_ref[j].astype(jnp.float32)
+        do = do_ref[j].astype(jnp.float32)
+        o = o_ref[j].astype(jnp.float32)
+        lse = lse_ref[j].T  # (PQ, 1)
+        if pk > kv_len:
+            k = jnp.where(kv_row < kv_len, k, 0.0)
+            v = jnp.where(kv_row < kv_len, v, 0.0)
+        if ragged_q:
+            dead = q_row >= q_len
+            do = jnp.where(dead, 0.0, do)
+            o = jnp.where(dead, 0.0, o)
+            q = jnp.where(dead, 0.0, q)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if pk > kv_len:
+            s = jnp.where(key_col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        if ragged_q:
+            p = jnp.where(dead, 0.0, p)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq_ref[j] = (
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[j] = (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+        ).astype(dk_ref.dtype)
+        dv_ref[j] = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+
+# sequences at or below this length use the multi-head grouped kernels
+_MH_MAX_SEQ = 512
+
+
+def _head_group(h: int, n: int, d: int, dtype) -> int:
+    """Heads per program: largest divisor of h whose buffers fit ~8 MB VMEM
+    (inputs+outputs, double-buffered by Pallas)."""
+    bytes_per_head = 8 * n * max(d, 128) * (2 if dtype == jnp.bfloat16 else 4)
+    budget = 8 * 1024 * 1024
+    g = max(1, min(h, budget // max(bytes_per_head, 1)))
+    while h % g:
+        g -= 1
+    return g
+
+
 def _pad_len(n: int, block: int) -> int:
     return ((n + block - 1) // block) * block
 
@@ -309,6 +413,32 @@ def _pad_seq(x: jnp.ndarray, to_len: int) -> jnp.ndarray:
 def _fwd(q, k, v, scale, block_q, block_k, interpret):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
+
+    if block_q is None and block_k is None and n_kv <= _MH_MAX_SEQ:
+        # short sequences: grouped multi-head kernel (see _mh_fwd_kernel)
+        g = _head_group(h, _pad_len(max(n_q, n_kv), 128), d, q.dtype)
+        pq, pk = _pad_len(n_q, 128), _pad_len(n_kv, 128)
+        kernel = functools.partial(_mh_fwd_kernel, scale=scale, kv_len=n_kv)
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=(b, h // g),
+            in_specs=[
+                pl.BlockSpec((None, g, pq, d), lambda b, j: (b, j, 0, 0)),
+                pl.BlockSpec((None, g, pk, d), lambda b, j: (b, j, 0, 0)),
+                pl.BlockSpec((None, g, pk, d), lambda b, j: (b, j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((None, g, pq, d), lambda b, j: (b, j, 0, 0)),
+                pl.BlockSpec((None, g, 1, pq), lambda b, j: (b, j, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, 1, n_q), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, k, v)
+        return o, (lse, o)
+
     block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
 
@@ -368,6 +498,34 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
 def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
+
+    if block_q is None and block_k is None and n_kv <= _MH_MAX_SEQ:
+        # short sequences: grouped multi-head fused backward (must mirror the
+        # forward's dispatch so lse shapes line up)
+        g = _head_group(h, _pad_len(max(n_q, n_kv), 128), d, q.dtype)
+        pq, pk = _pad_len(n_q, 128), _pad_len(n_kv, 128)
+        kernel = functools.partial(
+            _mh_bwd_kernel, scale=scale, kv_len=n_kv, q_len=n_q
+        )
+        qspec = pl.BlockSpec((None, g, pq, d), lambda b, j: (b, j, 0, 0))
+        kspec = pl.BlockSpec((None, g, pk, d), lambda b, j: (b, j, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid=(b, h // g),
+            in_specs=[
+                qspec, kspec, kspec, qspec, qspec,
+                pl.BlockSpec((None, g, 1, pq), lambda b, j: (b, j, 0, 0)),
+            ],
+            out_specs=[qspec, kspec, kspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, n_q, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, n_kv, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, n_kv, d), v.dtype),
+            ],
+            interpret=interpret,
+        )(q, k, v, do, o_padded, lse)
+        return dq, dk, dv
+
     block_q, block_k = _default_blocks(n_kv, block_q, block_k, q.dtype)
     pq, pk = _pad_len(n_q, block_q), _pad_len(n_kv, block_k)
 
