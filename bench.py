@@ -40,11 +40,12 @@ from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def make_step(dtype: str, batch: int, attn_impl: str):
+def make_step(dtype: str, batch: int, attn_impl: str,
+              model: str = "contr_mae_vit_base_patch16"):
     from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
     from vit_ae_plus_plus_tpu.train import create_train_state, make_adamw, make_train_step
 
-    cfg = MODEL_ZOO["contr_mae_vit_base_patch16"](
+    cfg = MODEL_ZOO[model](
         volume_size=96, patch_size=8, in_chans=1, dtype=dtype, attn_impl=attn_impl
     )
     model = build_model(cfg)
@@ -57,8 +58,9 @@ def make_step(dtype: str, batch: int, attn_impl: str):
     return step, state, v
 
 
-def measure(dtype: str, batch: int, attn_impl: str, iters: int = 20) -> float:
-    step, state, v = make_step(dtype, batch, attn_impl)
+def measure(dtype: str, batch: int, attn_impl: str, iters: int = 20,
+            model: str = "contr_mae_vit_base_patch16") -> float:
+    step, state, v = make_step(dtype, batch, attn_impl, model)
     rng = jax.random.PRNGKey(3)
     w = jnp.float32(0.01)
     # warmup + compile
@@ -129,8 +131,13 @@ def main():
         step_time = tuned_batch / tuned
         mfu = fl["total"] / step_time / TPU_V5E_PEAK_FLOPS
         e2e = measure_e2e_epoch(tuned_batch)
+        # opt-in non-parity fast decoder (8 x d64 heads, models/zoo.py): same
+        # parameter shapes, ~1.5x faster on the step's dominant component
+        fastdec = measure("bfloat16", tuned_batch, "auto",
+                          model="contr_mae_vit_base_patch16_fastdec")
         details = {
             "tuned_volumes_per_sec": round(tuned, 2),
+            "fastdec_optin_volumes_per_sec": round(fastdec, 2),
             "parity_f32_b4_volumes_per_sec": round(base, 2),
             "step_time_ms": round(step_time * 1e3, 2),
             "analytic_step_tflops": round(fl["total"] / 1e12, 3),

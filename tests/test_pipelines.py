@@ -292,3 +292,23 @@ def test_bf16_pretrain_saves_float32_features(synthetic_brats, tmp_path):
                 / "train_contrast_ssl_features_split_0.npy")
     assert f.dtype == np.float32
     assert np.isfinite(f).all()
+
+
+def test_pretrain_kfold_cross_fold_resume_skips_completed(synthetic_brats, tmp_path):
+    """Restart safety across folds: with --resume, a fold whose features are
+    already on disk (written strictly after training + checkpointing) is
+    skipped entirely instead of retrained."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", contr_weight=0.001, resume=True)
+    work = str(tmp_path / "work")
+    first = pretrain_kfold(data_cfg, train_cfg, work,
+                           model_name="contr_mae_vit_tiny_patch4", n_splits=2)
+    assert all("min_loss" in r for r in first.values())
+
+    second = pretrain_kfold(data_cfg, train_cfg, work,
+                            model_name="contr_mae_vit_tiny_patch4", n_splits=2)
+    assert all(r.get("skipped") for r in second.values())

@@ -353,6 +353,20 @@ def pretrain_kfold(
     results = {}
     feat_dir = os.path.join(work_dir, "ssl_features_dir")
     for fold_idx, (train_ids, test_ids) in enumerate(fold_list):
+        if getattr(train_cfg, "resume", False):
+            # cross-fold restart safety: a fold whose features are already on
+            # disk is complete (features are written strictly after training
+            # + min-loss checkpointing) — skip straight to the next fold
+            done = all(
+                os.path.exists(os.path.join(
+                    feat_dir, f"{tag}_contrast_ssl_features_split_{fold_idx}.npy"
+                ))
+                for tag in ("train", "test")
+            )
+            if done:
+                print(f"Fold {fold_idx}: features already extracted, skipping")
+                results[fold_idx] = {"skipped": True}
+                continue
         pretrain_ids = (
             np.concatenate([train_ids, ssl_offset_ids])
             if ssl_offset_ids is not None else train_ids
