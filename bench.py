@@ -115,6 +115,46 @@ def measure_e2e_epoch(batch: int = 16, n_volumes: int = 160) -> float:
     return n * batch / dt
 
 
+def measure_e2e_device_resident(batch: int = 16, n_volumes: int = 160) -> float:
+    """End-to-end epoch with the whole fold staged in HBM
+    (data/loader.py::DeviceResidentBatches + on-device augment): the
+    TPU-native input path for datasets that fit — zero per-step H2D, so the
+    e2e number converges with the resident-tensor step even through this dev
+    box's slow tunnel."""
+    import tempfile
+
+    from vit_ae_plus_plus_tpu.data.brats import BraTSDataset
+    from vit_ae_plus_plus_tpu.data.loader import DeviceResidentBatches
+    from vit_ae_plus_plus_tpu.ops.augment import device_augment_batch
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_dev_")
+    vols = np.random.default_rng(0).standard_normal(
+        (n_volumes, 96, 96, 96, 1)).astype(np.float32)
+    np.save(os.path.join(tmp, "x_whole_ssl.npy"), vols)
+    ds = BraTSDataset(tmp, "whole", raw=True)
+
+    step, state, _ = make_step("bfloat16", batch, "auto")
+    device_aug = jax.jit(lambda key, raw: device_augment_batch(key, raw, True))
+    loader = DeviceResidentBatches(ds, batch, seed=0)
+    rng = jax.random.PRNGKey(3)
+    w = jnp.float32(0.01)
+
+    def run_epoch():
+        nonlocal state
+        count = 0
+        for raw, _orig, _lab in loader:
+            aug, orig = device_aug(jax.random.fold_in(rng, count), raw)
+            state, metrics = step(state, aug, orig, rng, w)
+            count += 1
+        float(metrics["loss"])  # sync
+        return count
+
+    run_epoch()  # compile
+    t0 = time.perf_counter()
+    n = run_epoch()
+    return n * batch / (time.perf_counter() - t0)
+
+
 def main():
     full = "--full" in sys.argv
     # parity-style path: f32, batch 4, XLA attention (how the reference runs)
@@ -144,6 +184,9 @@ def main():
             "mfu_vs_197tflops_peak": round(mfu, 4),
             "e2e_epoch_volumes_per_sec": round(e2e, 2),
             "e2e_over_step_ratio": round(e2e / tuned, 3),
+            "e2e_device_resident_volumes_per_sec": round(
+                measure_e2e_device_resident(tuned_batch), 2
+            ),
         }
         print(json.dumps(details, indent=2), file=sys.stderr)
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:

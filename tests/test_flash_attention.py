@@ -133,3 +133,27 @@ def test_flash_multihead_grouped_path(b, h, n, d):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
         )
+
+
+def test_flash_long_context_multiblock_path():
+    """Long-context capability (SURVEY §5.7): sequences past the single-block
+    ceiling run the online-softmax multi-block path (block_k 512) — fwd and
+    grads must still match the naive reference. 2744 tokens = a 112^3/8^3
+    volume's patch count."""
+    n, d = 2744, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(21), 1, 2, n, d)
+    scale = d**-0.5
+
+    got = flash_attention(q, k, v, scale, None, None, True)
+    want = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def loss_flash(q):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, scale, None, None, True)))
+
+    def loss_xla(q):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    gf = jax.grad(loss_flash)(q)
+    gx = jax.grad(loss_xla)(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5)

@@ -107,3 +107,39 @@ def test_device_prefetch_order_completeness_and_sharding():
     got2 = list(device_prefetch(loader, size=3))
     assert [int(x) for _a, _o, lab in got2 for x in lab] == list(range(16))
     assert all(isinstance(a, jax.Array) for a, _o, _l in got2)
+
+
+def test_device_resident_batches_match_host_loader_order():
+    """DeviceResidentBatches (whole fold staged in HBM, per-step on-device
+    gather) must yield the SAME shuffled batch sequence as the host Loader
+    for identical seeds — it swaps the transport, not the sampling."""
+    import jax
+
+    from vit_ae_plus_plus_tpu.data.loader import DeviceResidentBatches
+
+    class _VolDataset:
+        def __init__(self, n):
+            self.vols = [np.full((1, 4, 4, 4), i, np.float32) for i in range(n)]
+            self.labels = np.arange(n) % 2
+
+        def __len__(self):
+            return len(self.vols)
+
+        def __getitem__(self, i):
+            return self.vols[i], self.vols[i], int(self.labels[i])
+
+    ds = _VolDataset(13)
+    ids = np.array([0, 2, 3, 5, 6, 7, 8, 10, 11, 12])
+    host = Loader(ds, batch_size=3, indices=ids, shuffle=True, drop_last=True,
+                  num_workers=1, seed=5)
+    dev = DeviceResidentBatches(ds, batch_size=3, indices=ids, seed=5)
+    assert len(host) == len(dev) == 3
+
+    for epoch in range(2):
+        got = [(a, np.asarray(a), lab) for a, _o, lab in dev]
+        want = [(a, lab) for a, _o, lab in host]
+        for (dev_arr, ga, gl), (wa, wl) in zip(got, want):
+            # volume value == original dataset index, so content identifies order
+            assert isinstance(dev_arr, jax.Array)
+            np.testing.assert_array_equal(ga, wa)
+            np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))

@@ -103,6 +103,26 @@ def test_pretrain_with_device_augment(synthetic_brats, tmp_path):
     assert all(np.isfinite(r["min_loss"]) for r in results.values())
 
 
+def test_pretrain_with_device_resident_data(synthetic_brats, tmp_path):
+    """Whole-fold-in-HBM path (device_data): zero per-step H2D, on-device
+    gather + augment; features land on disk like every other path."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", device_augment=True,
+                            device_data=True)
+    work = str(tmp_path / "w")
+    results = pretrain_kfold(data_cfg, train_cfg, work,
+                             model_name="mae_vit_tiny_patch4", n_splits=2)
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+    for fold in (0, 1):
+        f = np.load(os.path.join(work, "ssl_features_dir",
+                                 f"train_contrast_ssl_features_split_{fold}.npy"))
+        assert np.isfinite(f).all()
+
+
 def test_resnet_kfold_end_to_end(synthetic_brats, tmp_path):
     from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold
 

@@ -45,6 +45,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device-augment", action="store_true",
                    help="run augmentation on-device (BraTS and EGD)")
+    p.add_argument("--device-data", action="store_true",
+                   help="stage the whole raw training fold in HBM (zero "
+                        "per-step H2D; implies --device-augment semantics)")
     p.add_argument("--resume", action="store_true",
                    help="resume folds from their periodic checkpoints")
     p.add_argument("--profile-dir", default=None,
@@ -66,7 +69,9 @@ def _configs(args) -> tuple:
             compute_dtype=args.compute_dtype,
             patch_size=extras.get("patch_size", args.patch_size),
             seed=args.seed,
-            device_augment=getattr(args, "device_augment", False),
+            device_augment=getattr(args, "device_augment", False)
+            or getattr(args, "device_data", False),
+            device_data=getattr(args, "device_data", False),
             resume=getattr(args, "resume", False),
             profile_dir=getattr(args, "profile_dir", None),
             vgg_ckpt=getattr(args, "vgg_ckpt", None),
@@ -80,7 +85,9 @@ def _configs(args) -> tuple:
     train_cfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         patch_size=args.patch_size, compute_dtype=args.compute_dtype,
-        device_augment=getattr(args, "device_augment", False),
+        device_augment=getattr(args, "device_augment", False)
+        or getattr(args, "device_data", False),
+        device_data=getattr(args, "device_data", False),
         resume=getattr(args, "resume", False),
         profile_dir=getattr(args, "profile_dir", None),
         perceptual_weight=getattr(args, "perceptual_weight", 0.0),

@@ -130,6 +130,9 @@ class TrainConfig:
     # tpu execution
     compute_dtype: str = "float32"  # "bfloat16" for max throughput
     device_augment: bool = False  # run affine/noise/gamma on-device (ops/augment.py)
+    device_data: bool = False  # stage the whole raw fold in HBM (zero per-step
+    # H2D; requires device_augment and a dataset that fits — data/loader.py
+    # DeviceResidentBatches)
     # instead of in host loader threads (removes the input-bound stage)
     donate_state: bool = True
     mesh_shape: Tuple[int, ...] = (1,)  # (data,) mesh; >1 shards the batch

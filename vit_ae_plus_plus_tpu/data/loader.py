@@ -134,6 +134,56 @@ def device_prefetch(iterator, size: int = 2, sharding=None, put_orig: bool = Tru
         yield buf.popleft()
 
 
+class DeviceResidentBatches:
+    """Whole-dataset-in-HBM batch source: zero per-step host->device traffic.
+
+    The BraTS/EGD training pools are a few hundred 96^3 volumes (~1-3.5 GB
+    f32) — they FIT in a TPU chip's HBM. Staging the raw array once per fold
+    and gathering each shuffled batch on device removes the host loader and
+    the H2D copy from the steady-state step entirely; combined with on-device
+    augmentation (ops/augment.py) the input pipeline costs one `jnp.take`
+    per step. This is the TPU-native answer to the reference's
+    DataLoader-worker pipeline (k_fold_…_brats.py:134-148) for datasets that
+    fit; the streaming Loader remains the fallback for ones that don't.
+
+    Epoch shuffling matches `Loader` (epoch_shard with the same seed), so
+    batch ORDER is identical to the host path; `raw=True` datasets only
+    (normalisation happens on device with the augment pipeline).
+    """
+
+    def __init__(self, dataset, batch_size: int, indices=None, seed: int = 0,
+                 drop_last: bool = True):
+        import jax
+
+        ids = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        vols = np.stack([np.asarray(dataset[i][0], np.float32) for i in ids])
+        self._data = jax.device_put(vols)  # (n, C, S, S, S) resident
+        self._labels = all_labels(dataset)[ids]
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self._seed = seed
+        self._epoch = 0
+        self._n = len(ids)
+        self._take = jax.jit(lambda data, idx: data[idx])  # on-device gather
+
+    def nbytes(self) -> int:
+        return int(self._data.size) * 4
+
+    def __len__(self) -> int:
+        n = self._n
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        self._epoch += 1
+        # LOCAL positions 0..n-1 shuffled with Loader-identical semantics
+        order = epoch_shard(np.arange(self._n), self._epoch, self._seed,
+                            rank=0, n_proc=1, shuffle=True)
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            batch = self._take(self._data, idx)
+            yield batch, batch, self._labels[idx]
+
+
 class Loader:
     """Iterable over (augmented, original, labels) numpy batches."""
 

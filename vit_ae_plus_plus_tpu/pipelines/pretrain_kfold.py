@@ -78,14 +78,30 @@ def pretrain_one_fold(
             )
         )
 
-    loader = Loader(
-        dataset_aug, train_cfg.batch_size, indices=train_ids,
-        shuffle=True, drop_last=True, seed=train_cfg.seed,
-        # multi-host: global per-epoch reshuffle (identical seed on all hosts)
-        # then round-robin shard with wrap padding — DistributedSampler
-        # semantics, no silently dropped remainder (data/loader.py:epoch_shard)
-        shard_across_processes=True,
-    )
+    if getattr(train_cfg, "device_data", False):
+        if device_aug is None:
+            raise ValueError("device_data requires device_augment (the raw "
+                             "volumes are normalised on device)")
+        from vit_ae_plus_plus_tpu.data.loader import DeviceResidentBatches
+
+        # whole raw fold staged in HBM once: zero per-step host->device
+        # traffic; per-step input cost is one on-device gather
+        loader = DeviceResidentBatches(
+            dataset_aug, train_cfg.batch_size, indices=train_ids,
+            seed=train_cfg.seed,
+        )
+        print(f"Fold {fold_idx}: dataset device-resident "
+              f"({loader.nbytes() / 1e9:.2f} GB in HBM)")
+    else:
+        loader = Loader(
+            dataset_aug, train_cfg.batch_size, indices=train_ids,
+            shuffle=True, drop_last=True, seed=train_cfg.seed,
+            # multi-host: global per-epoch reshuffle (identical seed on all
+            # hosts) then round-robin shard with wrap padding —
+            # DistributedSampler semantics, no silently dropped remainder
+            # (data/loader.py:epoch_shard)
+            shard_across_processes=True,
+        )
     steps_per_epoch = len(loader)
     n_data = mesh.shape["data"] if mesh is not None else 1
     eff_batch = train_cfg.batch_size * train_cfg.accum_iter * n_data
@@ -165,12 +181,15 @@ def pretrain_one_fold(
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sharding = NamedSharding(mesh, P("data"))
-        batches = device_prefetch(
-            loader, size=2, sharding=batch_sharding,
-            # device-augment derives both views on-device from the raw batch:
-            # shipping `orig` too would double H2D traffic for nothing
-            put_orig=device_aug is None,
-        )
+        if getattr(train_cfg, "device_data", False):
+            batches = loader  # already device-resident: nothing to transfer
+        else:
+            batches = device_prefetch(
+                loader, size=2, sharding=batch_sharding,
+                # device-augment derives both views on-device from the raw
+                # batch: shipping `orig` too would double H2D traffic
+                put_orig=device_aug is None,
+            )
         for aug, orig, _ in logger.log_every(
             batches, header=f"Fold {fold_idx} Epoch [{epoch}]", length=len(loader)
         ):
