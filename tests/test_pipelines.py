@@ -114,8 +114,11 @@ def test_pretrain_with_device_resident_data(synthetic_brats, tmp_path):
                             compute_dtype="float32", device_augment=True,
                             device_data=True)
     work = str(tmp_path / "w")
+    # n_devices=2: the store is staged replicated over the mesh and the
+    # pjit'ed step slices its data-parallel shard from the gathered batch
     results = pretrain_kfold(data_cfg, train_cfg, work,
-                             model_name="mae_vit_tiny_patch4", n_splits=2)
+                             model_name="mae_vit_tiny_patch4", n_splits=2,
+                             n_devices=2)
     assert all(np.isfinite(r["min_loss"]) for r in results.values())
     for fold in (0, 1):
         f = np.load(os.path.join(work, "ssl_features_dir",

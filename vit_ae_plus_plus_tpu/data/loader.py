@@ -152,19 +152,25 @@ class DeviceResidentBatches:
     """
 
     def __init__(self, dataset, batch_size: int, indices=None, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, sharding=None, batch_sharding=None):
         import jax
 
         ids = np.asarray(indices if indices is not None else np.arange(len(dataset)))
         vols = np.stack([np.asarray(dataset[i][0], np.float32) for i in ids])
-        self._data = jax.device_put(vols)  # (n, C, S, S, S) resident
+        # under a mesh, stage replicated (sharding=NamedSharding(mesh, P()))
+        # and emit batches in the step's P('data') layout (batch_sharding):
+        # the per-batch gather then materialises only the local shard
+        self._data = (jax.device_put(vols, sharding) if sharding is not None
+                      else jax.device_put(vols))  # (n, C, S, S, S) resident
         self._labels = all_labels(dataset)[ids]
         self.batch_size = batch_size
         self.drop_last = drop_last
         self._seed = seed
         self._epoch = 0
         self._n = len(ids)
-        self._take = jax.jit(lambda data, idx: data[idx])  # on-device gather
+        take = lambda data, idx: data[idx]  # on-device gather
+        self._take = (jax.jit(take, out_shardings=batch_sharding)
+                      if batch_sharding is not None else jax.jit(take))
 
     def nbytes(self) -> int:
         return int(self._data.size) * 4

@@ -33,6 +33,8 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
         data = len(devices) // model
+    if data * model < len(devices):
+        devices = devices[: data * model]  # use the first data*model devices
     if data * model != len(devices):
         raise ValueError(f"mesh {data}x{model} != {len(devices)} devices")
     arr = np.array(devices).reshape(data, model)

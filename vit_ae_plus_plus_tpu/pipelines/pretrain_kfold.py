@@ -72,11 +72,17 @@ def pretrain_one_fold(
         # pipeline runs on-device (ops/augment.py) right before the step
         from vit_ae_plus_plus_tpu.ops.augment import device_augment_batch
 
-        device_aug = jax.jit(
-            lambda key, raw: device_augment_batch(
-                key, raw, data_cfg.use_z_score, per_channel=(data_cfg.name == "egd")
-            )
+        aug_fn = lambda key, raw: device_augment_batch(
+            key, raw, data_cfg.use_z_score, per_channel=(data_cfg.name == "egd")
         )
+        if mesh is not None:
+            # keep both produced views in the step's P('data') batch layout
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(mesh, P("data"))
+            device_aug = jax.jit(aug_fn, out_shardings=(data_sh, data_sh))
+        else:
+            device_aug = jax.jit(aug_fn)
 
     if getattr(train_cfg, "device_data", False):
         if device_aug is None:
@@ -86,9 +92,16 @@ def pretrain_one_fold(
 
         # whole raw fold staged in HBM once: zero per-step host->device
         # traffic; per-step input cost is one on-device gather
+        store_sharding = take_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            store_sharding = NamedSharding(mesh, P())  # replicated store
+            take_sharding = NamedSharding(mesh, P("data"))  # step's batch layout
         loader = DeviceResidentBatches(
             dataset_aug, train_cfg.batch_size, indices=train_ids,
-            seed=train_cfg.seed,
+            seed=train_cfg.seed, sharding=store_sharding,
+            batch_sharding=take_sharding,
         )
         print(f"Fold {fold_idx}: dataset device-resident "
               f"({loader.nbytes() / 1e9:.2f} GB in HBM)")
