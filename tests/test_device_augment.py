@@ -94,3 +94,54 @@ def test_per_channel_device_normalisation():
     np.testing.assert_allclose(np.asarray(z.var(axis=(1, 2, 3))), 1, atol=1e-4)
     mm = minmax_volume(raw)
     assert np.isclose(float(mm.min()), -1) and np.isclose(float(mm.max()), 1)
+
+
+def test_shear_affine_identity_is_exact():
+    """Zero rotation + unit scale: every shear/scale pass has an identity band
+    matrix, so the MXU path must return the input bit-exactly."""
+    from vit_ae_plus_plus_tpu.ops.augment import _affine_shear
+
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.standard_normal((2, 10, 10, 10)).astype(np.float32))
+    out = _affine_shear(vol, jnp.zeros(3), jnp.ones(3))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(vol))
+
+
+def test_shear_affine_close_to_exact_gather_on_smooth_volume():
+    """The 12-pass shear decomposition applies one lerp per pass instead of a
+    single trilinear sample; on smooth data (what MRI volumes are after any
+    blur) the two must agree closely in the interior."""
+    from vit_ae_plus_plus_tpu.ops.augment import _affine_gather, _affine_shear
+
+    xs = np.linspace(-1, 1, 24)
+    g = np.exp(-(xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+                 + xs[None, None, :] ** 2) * 3).astype(np.float32)
+    vol = jnp.asarray(g[None])
+    angles = jnp.asarray(np.array([7.0, -5.0, 9.0]) * np.pi / 180.0)
+    scale = jnp.asarray([0.95, 1.05, 1.0])
+
+    exact = np.asarray(_affine_gather(vol, angles, scale))
+    shear = np.asarray(_affine_shear(vol, angles, scale))
+    # interior comparison (boundary handling differs by design: partial band
+    # blending vs whole-sample cval)
+    sl = (slice(None), slice(3, -3), slice(3, -3), slice(3, -3))
+    err = np.abs(exact[sl] - shear[sl]).max()
+    assert err < 0.02, err
+    # and globally the transforms are highly correlated
+    corr = np.corrcoef(exact.ravel(), shear.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_shear_affine_pure_scale_matches_gather():
+    """Axis-aligned scaling is separable: the shear path's three scale passes
+    compute the same trilinear result as the single-shot sampler (interior)."""
+    from vit_ae_plus_plus_tpu.ops.augment import _affine_gather, _affine_shear
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.standard_normal((1, 12, 12, 12)).astype(np.float32))
+    angles = jnp.zeros(3)
+    scale = jnp.asarray([0.92, 1.08, 1.03])
+    exact = np.asarray(_affine_gather(vol, angles, scale))
+    shear = np.asarray(_affine_shear(vol, angles, scale))
+    sl = (slice(None), slice(2, -2), slice(2, -2), slice(2, -2))
+    np.testing.assert_allclose(shear[sl], exact[sl], rtol=1e-4, atol=1e-4)

@@ -157,3 +157,31 @@ def test_flash_long_context_multiblock_path():
     gf = jax.grad(loss_flash)(q)
     gx = jax.grad(loss_xla)(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("nq,nkv,d", [(200, 433, 64), (433, 96, 32), (700, 2744, 64)])
+def test_flash_cross_attention_shapes(nq, nkv, d):
+    """n_q != n_kv (cross-attention): every dispatch path (grouped multi-head,
+    single-block ragged, multi-block) must handle asymmetric sequence lengths."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(31), 3)
+    q = jax.random.normal(kq, (1, 2, nq, d), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, nkv, d), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, nkv, d), jnp.float32)
+    scale = d**-0.5
+
+    got = flash_attention(q, k, v, scale, None, None, True)
+    want = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, scale, None, None, True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
+        )

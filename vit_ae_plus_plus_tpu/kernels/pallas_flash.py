@@ -8,17 +8,26 @@ exactly the shape of every attention in this framework:
 - MAE decoder:    N = 1729, head_dim 32
 - feature ViT:    N = 1729, head_dim 64
 
-Design (FlashAttention-2):
-- forward: grid (B, H, Nq/BQ); K and V live whole in VMEM per (b, h) —
-  at N<=8192, head_dim<=64 that is <= 4 MB and saves DMA bookkeeping; the
-  kernel streams K/V block-by-block out of VMEM with an online-softmax
-  running (max, sum) pair, so the (N, N) score matrix never exists in HBM.
-- backward: one kernel for dQ (grid over Q blocks, loop over K blocks) and
-  one for dK/dV (grid over K blocks, loop over Q blocks), using the saved
-  row logsumexp L and the precomputed D = rowsum(dO * O).
-
-Sequence lengths are padded to the block size with key masking (-inf scores
-for padded keys); padded query rows are sliced off on return.
+Design (FlashAttention-2 lineage, tuned for these shapes — see BASELINE.md):
+- three dispatch tiers by sequence length:
+  * N <= 512: GROUPED MULTI-HEAD kernels — one program per (batch,
+    head-group) with the whole sequence resident; amortises the per-program
+    dispatch/DMA overhead that dominates at small per-head workloads
+    (_mh_fwd_kernel / _mh_bwd_kernel);
+  * N <= 2048 (padded): SINGLE-BLOCK-K — forward grid (B, H, Nq/BQ) with a
+    plain stable softmax (no online rescaling), and a FUSED single-pass
+    backward (one program per (b, h) computing dq + dk + dv with a single
+    S/P rebuild and inline delta = rowsum(dO * O));
+  * larger: classic blockwise online-softmax forward + two-kernel backward
+    (dQ grid over Q blocks; dK/dV grid over K blocks).
+- PAD-FREE at the fast tiers: inputs/outputs use ragged Pallas edge blocks
+  at their native lengths; ragged padding is GARBAGE, so k/v tails and dead
+  query rows are masked in-kernel ((rows, 1) broadcast masks).
+- lse/delta residuals are stored LANE-oriented as (B, H, 1, N): a trailing
+  unit dim would tile-pad 128x in HBM.
+- self-sharding: custom_partitioning + SdyShardingRule declare (B, H) freely
+  shardable and (N, D) replicated, so data/tensor-parallel operands flow in
+  with no ambient mesh (see _def_bh_partition).
 
 All matmuls accumulate in f32 (`preferred_element_type`); inputs may be bf16.
 """

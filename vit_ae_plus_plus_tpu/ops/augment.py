@@ -76,17 +76,98 @@ def _rotation_matrix(angles: jnp.ndarray) -> jnp.ndarray:
     return rot(0, angles[0]) @ rot(1, angles[1]) @ rot(2, angles[2])
 
 
-def random_affine_3d(
-    key: jax.Array, vol: jnp.ndarray, scales: float = 0.1, degrees: float = 10.0
-) -> jnp.ndarray:
-    """(C, S, S, S) -> same shape; output voxel pulls from mat @ (p - c) + c."""
-    k1, k2 = jax.random.split(key)
-    scale = jax.random.uniform(k1, (3,), minval=1 - scales, maxval=1 + scales)
-    angles = jax.random.uniform(
-        k2, (3,), minval=-degrees, maxval=degrees
-    ) * (math.pi / 180.0)
-    mat = _rotation_matrix(angles) @ jnp.diag(1.0 / scale)
+# ---------------------------------------------------------------------------
+# Shear-decomposed affine resampling: MXU matmuls instead of gathers.
+#
+# XLA's gather on TPU is element-at-a-time — the direct trilinear sampler
+# below (`_affine_gather`) costs ~1.6 s for a (16, 1, 96^3) batch, 5x the
+# whole train step. The policy's affine (rotations <= 10 deg, scales
+# 0.9-1.1) decomposes exactly into elemental maps that each move ONE
+# coordinate by an offset linear in at most one OTHER coordinate:
+#   R_plane(theta) = Shear_u(-tan(theta/2)) Shear_v(sin theta)
+#                    Shear_u(-tan(theta/2))            (Paeth decomposition)
+#   diag(1/s)      = three per-axis uniform rescalings.
+# Each such pass is a banded-matrix contraction over one axis — a batched
+# matmul that runs on the MXU (~30 GFLOP total for 12 passes at 96^3 B16,
+# ~1000x less wall time than the gathers). Each pass linearly interpolates
+# once, so the result is augmentation-equivalent but not bit-identical to
+# single-shot trilinear sampling: 12 lerps add slight extra smoothing and
+# the zero-boundary blends over the final voxel (tested against the exact
+# sampler on smooth volumes in tests/test_device_augment.py).
+# ---------------------------------------------------------------------------
 
+# einsum for "resample along MOVED axis, band matrix indexed by OTHER axis";
+# vol is (C, Z, Y, X); W is (other_size, out_size, src_size), or
+# (out_size, src_size) for the uniform (scale) passes keyed (moved, None).
+_SHEAR_EINSUM = {
+    (0, 1): "yzu,cuyx->czyx",
+    (0, 2): "xzu,cuyx->czyx",
+    (1, 0): "zyu,czux->czyx",
+    (1, 2): "xyu,czux->czyx",
+    (2, 0): "zxu,czyu->czyx",
+    (2, 1): "yxu,czyu->czyx",
+    (0, None): "zu,cuyx->czyx",
+    (1, None): "yu,czux->czyx",
+    (2, None): "xu,czyu->czyx",
+}
+
+
+def _band_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """pos (..., out) fractional source positions -> W (..., out, size) with
+    the two-tap linear-interpolation band; positions outside [0, size-1]
+    contribute 0 (zero padding)."""
+    u0 = jnp.floor(pos)
+    f = pos - u0
+    src = jax.lax.broadcasted_iota(jnp.float32, pos.shape + (size,), pos.ndim)
+    u0 = u0[..., None]
+    return (src == u0) * (1.0 - f)[..., None] + (src == u0 + 1.0) * f[..., None]
+
+
+def _apply_shear(vol, moved: int, other, alpha, beta, center):
+    """One elemental pass: src_moved = out_moved*alpha' ... concretely
+    pos = out + alpha*(other - c_other) for shears (alpha'=1), or
+    pos = (out - c)*rate + c for uniform scaling (other is None)."""
+    sizes = vol.shape[1:]
+    n = sizes[moved]
+    out_idx = jnp.arange(n, dtype=jnp.float32)
+    if other is None:
+        pos = (out_idx - center[moved]) * alpha + center[moved]  # (n,)
+        w = _band_weights(pos, n)  # (n, n)
+    else:
+        o_idx = jnp.arange(sizes[other], dtype=jnp.float32) - center[other]
+        pos = out_idx[None, :] + beta * o_idx[:, None]  # (other, n)
+        w = _band_weights(pos, n)  # (other, n, n)
+    return jnp.einsum(_SHEAR_EINSUM[(moved, other)], w, vol)
+
+
+def _paeth_passes(axis: int, theta):
+    """Elemental passes (moved, other, beta) for the rotation rot(axis)
+    used by data/transforms.py: planes [(1,2),(0,2),(0,1)]; axis 1 is the
+    transposed convention (see transforms.RandomAffine3D.rot)."""
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    if axis == 1:
+        theta = -theta
+    a = -jnp.tan(theta / 2.0)
+    s = jnp.sin(theta)
+    # R = X(a) Y(s) X(a): apply LEFTMOST factor first (map composition)
+    return [(i, j, a), (j, i, s), (i, j, a)]
+
+
+def _affine_shear(vol: jnp.ndarray, angles: jnp.ndarray, scale: jnp.ndarray):
+    shape = vol.shape[1:]
+    center = (jnp.asarray(shape, jnp.float32) - 1) / 2.0
+    out = vol
+    for axis in range(3):
+        for moved, other, beta in _paeth_passes(axis, angles[axis]):
+            out = _apply_shear(out, moved, other, None, beta, center)
+    for axis in range(3):
+        out = _apply_shear(out, axis, None, 1.0 / scale[axis], None, center)
+    return out
+
+
+def _affine_gather(vol: jnp.ndarray, angles: jnp.ndarray, scale: jnp.ndarray):
+    """Exact single-shot trilinear sampling (scipy-parity reference path)."""
+    mat = _rotation_matrix(angles) @ jnp.diag(1.0 / scale)
     shape = vol.shape[1:]
     center = (jnp.asarray(shape, jnp.float32) - 1) / 2.0
     grid = jnp.stack(
@@ -94,8 +175,27 @@ def random_affine_3d(
         axis=0,
     ).reshape(3, -1)
     src = mat @ (grid - center[:, None]) + center[:, None]
-    out = trilinear_sample(vol, src)
-    return out.reshape(vol.shape)
+    return trilinear_sample(vol, src).reshape(vol.shape)
+
+
+def random_affine_3d(
+    key: jax.Array, vol: jnp.ndarray, scales: float = 0.1, degrees: float = 10.0,
+    method: str = "shear",
+) -> jnp.ndarray:
+    """(C, S, S, S) -> same shape; output voxel pulls from mat @ (p - c) + c.
+
+    method='shear' (default): MXU banded-matmul passes, ~1000x faster on TPU;
+    method='gather': exact trilinear sampling, scipy-parity (slow on TPU).
+    Both draw the same parameters from `key`.
+    """
+    k1, k2 = jax.random.split(key)
+    scale = jax.random.uniform(k1, (3,), minval=1 - scales, maxval=1 + scales)
+    angles = jax.random.uniform(
+        k2, (3,), minval=-degrees, maxval=degrees
+    ) * (math.pi / 180.0)
+    if method == "shear":
+        return _affine_shear(vol, angles, scale)
+    return _affine_gather(vol, angles, scale)
 
 
 def random_noise(key: jax.Array, vol: jnp.ndarray, std: float = 0.1) -> jnp.ndarray:
