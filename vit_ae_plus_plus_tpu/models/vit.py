@@ -37,6 +37,38 @@ def _dt(name: str):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm routed through the Pallas fused kernel on TPU.
+
+    NOT used by the trunks: measured IN-MODEL the custom call made the
+    flagship step SLOWER (53.4 vs 57.3 vol/s) — the kernel wins the isolated
+    lane-axis reductions, but pulling LN out of XLA's fusion graph forces
+    extra HBM materialisation of activations that XLA previously fused into
+    neighbouring matmul/convert ops. Kept (with kernels/fused_ln.py and its
+    tests) as a drop-in component and a documented negative result; param
+    names/shapes match flax nn.LayerNorm ('scale'/'bias'), off-TPU the
+    equivalent jnp math runs instead (f32 statistics either way).
+    """
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if jax.default_backend() == "tpu":
+            from vit_ae_plus_plus_tpu.kernels.fused_ln import fused_layernorm
+
+            return fused_layernorm(x, scale, bias, self.epsilon).astype(self.dtype)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (reference model/vit.py:78-96)."""
 

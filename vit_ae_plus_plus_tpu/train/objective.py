@@ -62,7 +62,10 @@ def mae_loss_terms(
 
     pred_f32 = pred.astype(jnp.float32)
     pred_vol = unpatchify(pred_f32, patch_size)
-    target_vol = unpatchify(target, patch_size)
+    # unpatchify(patchify(v)) == v exactly: only the norm_pix branch actually
+    # changes the target, so skip the 56 MB round-trip (and its padded layout
+    # copies) in the default configuration
+    target_vol = unpatchify(target, patch_size) if norm_pix_loss else view1
 
     pred_edges = sobel_edges_3d(pred_vol)
     target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol, 2.0))
