@@ -185,3 +185,59 @@ def test_flash_cross_attention_shapes(nq, nkv, d):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=f"d{name}"
         )
+
+
+@pytest.mark.parametrize("b,h,n,d", [(2, 4, 229, 32), (1, 4, 433, 64), (2, 8, 128, 32)])
+def test_packed_flash_matches_xla(b, h, n, d):
+    """Packed-I/O kernel consumes the fused projection's (B, N, 3C) output;
+    fwd + grads must match naive attention on the unpacked equivalent."""
+    from vit_ae_plus_plus_tpu.kernels.packed_flash import packed_flash_attention
+
+    c = h * d
+    qkv = jax.random.normal(jax.random.PRNGKey(41), (b, n, 3 * c), jnp.float32)
+    scale = d**-0.5
+
+    def unpack(qkv):
+        parts = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        return parts[0], parts[1], parts[2]  # (B, H, N, D) each
+
+    def loss_packed(qkv):
+        return jnp.sum(jnp.sin(packed_flash_attention(qkv, d, scale, True)))
+
+    def loss_ref(qkv):
+        q, k, v = unpack(qkv)
+        o = _xla_attention(q, k, v, scale).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return jnp.sum(jnp.sin(o))
+
+    got = packed_flash_attention(qkv, d, scale, True)
+    q, k, v = unpack(qkv)
+    want = _xla_attention(q, k, v, scale).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    gp = jax.grad(loss_packed)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=5e-4, atol=5e-5)
+
+
+def test_packed_flash_sharded_batch_and_heads():
+    """Self-sharding: batch over 'data' with no call-site mesh plumbing.
+    (The packed (B, N, 3C) lane dim is declared replicated: a contiguous
+    lane shard would mix the q/k/v sections — TP uses the per-head path.)"""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vit_ae_plus_plus_tpu.kernels.packed_flash import packed_flash_attention
+
+    b, h, n, d = 4, 8, 96, 32
+    c = h * d
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    qkv = jax.random.normal(jax.random.PRNGKey(42), (b, n, 3 * c), jnp.float32)
+    qs = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+
+    def loss(qkv):
+        return jnp.sum(jnp.sin(packed_flash_attention(qkv, d, None, True)))
+
+    want_l, want_g = jax.jit(jax.value_and_grad(loss))(qkv)
+    got_l, got_g = jax.jit(jax.value_and_grad(loss))(qs)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=5e-4, atol=5e-5)

@@ -101,10 +101,33 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, Dh)
-        out = multihead_attention(q, k, v, impl=self.attn_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        impl = self.attn_impl
+        if impl == "auto":
+            # packed-I/O kernel measured fastest in-model wherever it applies
+            # (decoder 8L fwd+bwd 142 -> 126 ms, encoder 52 -> 49 — BASELINE.md);
+            # it consumes the projection's (B, N, 3C) output with no per-head
+            # HBM tensors. NOT for tensor-parallel runs (its lane dim is
+            # replicated) — those set attn_impl explicitly.
+            packed_ok = (
+                jax.default_backend() == "tpu"
+                and c % 128 == 0
+                and 128 % head_dim == 0
+                and 384 <= n
+                and ((n + 127) // 128) * 128 <= 2048
+            )
+            if packed_ok:
+                impl = "flash_packed"
+        if impl == "flash_packed":
+            from vit_ae_plus_plus_tpu.kernels.packed_flash import packed_flash_attention
+
+            out = packed_flash_attention(
+                qkv, head_dim, interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, Dh)
+            out = multihead_attention(q, k, v, impl=impl)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
