@@ -74,6 +74,41 @@ def measure(dtype: str, batch: int, attn_impl: str, iters: int = 20,
     return batch / dt  # volumes/sec
 
 
+def measure_reference_faithful(iters: int = 10, run_vgg: bool = True) -> float:
+    """The reference's per-iteration computation graph on this hardware
+    (utils/ref_faithful.py): sequential two-pass encoder, materialised (N,N)
+    scores, f32/B4, dense 11^3 Gaussian, conv Sobel, duplicated edge MSE,
+    per-step VGG forward, and a host sync EVERY iteration. Input resides on
+    device (charging the reference's host loader at zero — see module doc)."""
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+    from vit_ae_plus_plus_tpu.train import create_train_state, make_adamw
+    from vit_ae_plus_plus_tpu.utils.ref_faithful import make_reference_faithful_step
+
+    batch = 4
+    cfg = MODEL_ZOO["contr_mae_vit_base_patch16"](
+        volume_size=96, patch_size=8, in_chans=1, dtype="float32", attn_impl="xla"
+    )
+    model = build_model(cfg)
+    v = jax.random.normal(jax.random.PRNGKey(0), (batch, 1, 96, 96, 96), jnp.float32)
+    tx = make_adamw(1e-3, weight_decay=0.05)
+    state = create_train_state(
+        model, (v, v), tx, {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    )
+    step = make_reference_faithful_step(model, 8, contr_weight=0.001, run_vgg=run_vgg)
+    rng = jax.random.PRNGKey(3)
+    w = jnp.float32(0.01)
+    state, metrics = step(state, v, v, rng, w)  # compile
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, v, v, rng, w)
+        # the reference's loss.item() + torch.cuda.synchronize() per step
+        # (train_one_epoch.py:60,76): a host round-trip every iteration
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
 def measure_e2e_epoch(batch: int = 16, n_volumes: int = 160) -> float:
     """End-to-end epoch: mmap'ed raw volumes -> threaded host loader ->
     async double-buffered device_put -> on-device augment+normalise -> step.
@@ -162,6 +197,10 @@ def main():
     # tuned TPU path: bf16 compute, flash attention, batch 16
     tuned_batch = 16
     tuned = measure("bfloat16", tuned_batch, "auto")
+    # reference-faithful leg: the reference's per-step graph on this chip
+    # (sequential encoders, dense 11^3 blur, conv Sobel, doubled edge MSE,
+    # per-step VGG forward + host sync) — utils/ref_faithful.py
+    faithful = measure_reference_faithful()
 
     details = {}
     if full:
@@ -175,10 +214,15 @@ def main():
         # parameter shapes, ~1.5x faster on the step's dominant component
         fastdec = measure("bfloat16", tuned_batch, "auto",
                           model="contr_mae_vit_base_patch16_fastdec")
+        # the faithful leg minus the (gradient-free) VGG forward, isolating
+        # how much of the reference's per-step cost is that one quirk
+        faithful_novgg = measure_reference_faithful(run_vgg=False)
         details = {
             "tuned_volumes_per_sec": round(tuned, 2),
             "fastdec_optin_volumes_per_sec": round(fastdec, 2),
             "parity_f32_b4_volumes_per_sec": round(base, 2),
+            "reference_faithful_volumes_per_sec": round(faithful, 2),
+            "reference_faithful_novgg_volumes_per_sec": round(faithful_novgg, 2),
             "step_time_ms": round(step_time * 1e3, 2),
             "analytic_step_tflops": round(fl["total"] / 1e12, 3),
             "mfu_vs_197tflops_peak": round(mfu, 4),
@@ -199,6 +243,7 @@ def main():
                 "value": round(tuned, 2),
                 "unit": "volumes/sec",
                 "vs_baseline": round(tuned / base, 2),
+                "vs_reference_faithful": round(tuned / faithful, 2),
             }
         )
     )

@@ -127,6 +127,45 @@ def test_mixup_with_soft_ce():
     np.testing.assert_allclose(np.asarray(my.sum(axis=1)), np.ones(4), rtol=1e-6)
 
 
+def test_timm_mixup_matches_torch_oracle():
+    """timm_mixup's label transform pinned against timm 0.5.4's
+    one_hot/mixup_target math (timm/data/mixup.py), reproduced here in torch
+    as the oracle (timm itself is not installed; the reference calls
+    Mixup(mixup_alpha=0.1, num_classes=2) whose defaults apply
+    label_smoothing=0.1 — fine_tune_epoch.py:366-368)."""
+    import torch
+
+    from vit_ae_plus_plus_tpu.pipelines.finetune import timm_mixup
+
+    labels = np.array([0, 1, 1, 0])
+    num_classes, smoothing = 2, 0.1
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 1, 8, 8, 8)))
+
+    mx, my = timm_mixup(jax.random.PRNGKey(7), jnp.asarray(x), jnp.asarray(labels),
+                        num_classes, alpha=0.1)
+    # recover the lambda actually drawn (same key, same draw)
+    lam = float(jax.random.beta(jax.random.PRNGKey(7), 0.1, 0.1))
+
+    # --- timm oracle: one_hot + mixup_target + _mix_batch (mode='batch') ---
+    def timm_one_hot(t, n, on, off):
+        t = torch.as_tensor(t).long().view(-1, 1)
+        return torch.full((t.size(0), n), off).scatter_(1, t, on)
+
+    off_value = smoothing / num_classes
+    on_value = 1.0 - smoothing + off_value
+    y1 = timm_one_hot(labels, num_classes, on_value, off_value)
+    y2 = timm_one_hot(np.flip(labels).copy(), num_classes, on_value, off_value)
+    target_oracle = y1 * lam + y2 * (1.0 - lam)
+    xt = torch.as_tensor(x)
+    mixed_oracle = xt * lam + xt.flip(0) * (1.0 - lam)
+
+    np.testing.assert_allclose(np.asarray(my), target_oracle.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mx), mixed_oracle.numpy(), atol=1e-5)
+    # smoothed rows: never exactly one-hot
+    assert np.all(np.asarray(my) >= off_value * min(lam, 1 - lam) - 1e-9)
+    np.testing.assert_allclose(np.asarray(my.sum(axis=1)), np.ones(4), rtol=1e-6)
+
+
 def test_vit_contrastive_two_view_forward_and_loss():
     """Stage-2 contrastive ViT (reference vit.py:301-337 + legacy 2-view loop
     train_one_epoch.py:117-181)."""

@@ -286,6 +286,7 @@ def test_finetune_single_run(synthetic_brats, tmp_path):
         data_cfg, train_cfg, str(tmp_path / "ft"),
         str(tmp_path / "pre" / "checkpoints" / "fold_0" / "checkpoint-min_loss"),
         model_name="mae_vit_tiny_patch4",
+        use_mixup=True,  # rides the timm-semantics mixup (label_smoothing=0.1)
     )
     assert "best_ft_model" in results
     assert 0.0 <= results["best_ft_model"]["roc_auc_score"] <= 1.0

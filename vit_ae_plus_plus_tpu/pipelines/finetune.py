@@ -42,7 +42,9 @@ def mixup_3d(rng, inputs, one_hot_targets, alpha: float = 0.1):
 
     Note the reference samples two independent lambdas (one per partial_mixup
     call); we keep a single lambda for inputs and another for targets to match
-    that behaviour exactly.
+    that behaviour exactly. Used by the linear-probe path, whose reference
+    uses this custom class — the FINE-TUNE reference uses timm's Mixup
+    instead (`timm_mixup` below).
     """
     rng_perm, rng_lam1, rng_lam2 = jax.random.split(rng, 3)
     idx = jax.random.permutation(rng_perm, inputs.shape[0])
@@ -51,6 +53,33 @@ def mixup_3d(rng, inputs, one_hot_targets, alpha: float = 0.1):
     mixed_x = inputs * lam_x + inputs[idx] * (1 - lam_x)
     mixed_y = one_hot_targets * lam_y + one_hot_targets[idx] * (1 - lam_y)
     return mixed_x, mixed_y
+
+
+def timm_mixup(rng, inputs, int_labels, num_classes: int, alpha: float = 0.1,
+               smoothing: float = 0.1):
+    """timm 0.5.4 `Mixup(mixup_alpha=0.1, num_classes=2)` exact semantics,
+    as the reference fine-tune uses it (fine_tune_epoch.py:366-368; the
+    comment there says "smoothing is handled with mixup label transform"):
+
+    - defaults: mode='batch', prob=1.0, cutmix_alpha=0 -> pure mixup with
+      ONE Beta(alpha, alpha) lambda per batch shared by inputs AND targets
+      (timm/data/mixup.py `_params_per_batch`);
+    - the mixing partner is the FLIPPED batch `x.flip(0)`, not a random
+      permutation (`_mix_batch`);
+    - label_smoothing=0.1 (the timm default) applied INSIDE the label
+      transform: off = smoothing/C, on = 1 - smoothing + off, then
+      y = y1*lam + y2_flipped*(1-lam) (`mixup_target`/`one_hot`).
+
+    Returns (mixed_inputs, soft_targets).
+    """
+    lam = jax.random.beta(rng, alpha, alpha).astype(inputs.dtype)
+    mixed_x = inputs * lam + jnp.flip(inputs, 0) * (1 - lam)
+    off = smoothing / num_classes
+    on = 1.0 - smoothing + off
+    y1 = jax.nn.one_hot(int_labels, num_classes, dtype=jnp.float32) * (on - off) + off
+    y2 = jnp.flip(y1, 0)
+    lam32 = lam.astype(jnp.float32)
+    return mixed_x, y1 * lam32 + y2 * (1 - lam32)
 
 
 def weighted_ce(logits, labels, class_weights):
@@ -97,8 +126,14 @@ def make_supervised_steps(
     class_weights: Optional[np.ndarray] = None,
     use_mixup: bool = False,
     mixup_alpha: float = 0.1,
+    mixup_impl: str = "timm",
 ):
-    """(train_step, eval_step) for a classifier ViT."""
+    """(train_step, eval_step) for a classifier ViT.
+
+    mixup_impl: 'timm' = the fine-tune reference's timm Mixup (flip-partner,
+    shared lambda, label_smoothing=0.1 — fine_tune_epoch.py:366-368);
+    'reference' = the probe reference's own MixUp3D (linear_projection.py:31-45).
+    """
     cw = jnp.asarray(
         class_weights if class_weights is not None else np.ones(num_classes), jnp.float32
     )
@@ -108,8 +143,11 @@ def make_supervised_steps(
 
         def loss_fn(params):
             if use_mixup:
-                one_hot = jax.nn.one_hot(labels, num_classes)
-                x, y = mixup_3d(rng, batch, one_hot, mixup_alpha)
+                if mixup_impl == "timm":
+                    x, y = timm_mixup(rng, batch, labels, num_classes, mixup_alpha)
+                else:
+                    one_hot = jax.nn.one_hot(labels, num_classes)
+                    x, y = mixup_3d(rng, batch, one_hot, mixup_alpha)
                 logits = model.apply({"params": params}, x, train=True)
                 loss = soft_cross_entropy_with_weights(logits, y, cw)
             else:
