@@ -94,3 +94,19 @@ def test_projector_files(tmp_path):
     cfg = (tmp_path / "projector_config.pbtxt").read_text()
     assert 'tensor_path: "emb_tensors.tsv"' in cfg
     assert 'metadata_path: "emb_metadata.tsv"' in cfg
+
+
+def test_projector_rerun_is_idempotent(tmp_path):
+    """Re-running extraction (e.g. --resume) must not accumulate duplicate
+    embedding blocks for the same tag; distinct tags coexist."""
+    feats = np.arange(12, dtype=np.float32).reshape(4, 3)
+    write_projector(str(tmp_path), feats, tag="emb")
+    write_projector(str(tmp_path), feats, tag="other")
+    write_projector(str(tmp_path), feats * 2, tag="emb")
+    cfg = (tmp_path / "projector_config.pbtxt").read_text()
+    assert cfg.count('tensor_name: "emb"') == 1
+    assert cfg.count('tensor_name: "other"') == 1
+    assert cfg.count("embeddings {") == 2
+    # the rewritten tensors file carries the latest features
+    loaded = np.loadtxt(tmp_path / "emb_tensors.tsv", delimiter="\t")
+    np.testing.assert_allclose(loaded, feats * 2)

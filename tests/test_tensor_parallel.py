@@ -18,6 +18,18 @@ TINY = MAEConfig(
 )
 
 
+def test_auto_attn_rejected_under_model_axis():
+    """attn_impl='auto' (-> packed kernel, replicated lane dim) must not be
+    allowed to build a step over a model-sharded mesh."""
+    import pytest
+
+    cfg = MAEConfig(**{**TINY.__dict__, "attn_impl": "auto"})
+    model = MaskedAutoencoderViT3D(cfg)
+    mesh = make_mesh(data=2, model=4)
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        make_train_step(model, 4, mesh=mesh)
+
+
 def _mk(mesh=None):
     model = MaskedAutoencoderViT3D(TINY)
     batch = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 16, 16, 16))

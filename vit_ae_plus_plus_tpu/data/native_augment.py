@@ -48,7 +48,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             return None
         build_dir = os.path.join(os.path.dirname(_SRC), "build")
         os.makedirs(build_dir, exist_ok=True)
-        so_path = os.path.join(build_dir, f"_augment3d_{sys.platform}.so")
+        # the artifact is built with -march=native: key the cache by the host
+        # CPU's target flags too, so a shared filesystem / heterogeneous fleet
+        # never dlopens a binary carrying unsupported ISA extensions (SIGILL)
+        import hashlib
+        import platform
+
+        try:
+            target = subprocess.run(
+                ["g++", "-march=native", "-Q", "--help=target"],
+                check=True, capture_output=True,
+            ).stdout
+        except (OSError, subprocess.CalledProcessError):
+            target = platform.processor().encode()
+        host_key = hashlib.sha256(platform.machine().encode() + target).hexdigest()[:12]
+        so_path = os.path.join(build_dir, f"_augment3d_{sys.platform}_{host_key}.so")
         try:
             if (not os.path.exists(so_path)
                     or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):

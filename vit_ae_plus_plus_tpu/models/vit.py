@@ -108,8 +108,14 @@ class Attention(nn.Module):
             # it consumes the projection's (B, N, 3C) output with no per-head
             # HBM tensors. NOT for tensor-parallel runs (its lane dim is
             # replicated) — those set attn_impl explicitly.
+            # the packed kernel's (B, N, 3C) lane dim must stay REPLICATED
+            # (a contiguous 'model' shard would mix q/k/v) — under an ambient
+            # mesh with a model axis > 1, 'auto' must not pick it
+            abstract_mesh = jax.sharding.get_abstract_mesh()
+            model_sharded = abstract_mesh.shape.get("model", 1) > 1
             packed_ok = (
                 jax.default_backend() == "tpu"
+                and not model_sharded
                 and c % 128 == 0
                 and 128 % head_dim == 0
                 and 384 <= n

@@ -34,6 +34,15 @@ def make_mesh(
     if data is None:
         data = len(devices) // model
     if data * model < len(devices):
+        import warnings
+
+        # a silent subset can mask a misconfigured run (e.g. a typo'd
+        # --n-devices quietly training on half the chips)
+        warnings.warn(
+            f"mesh {data}x{model} uses only {data * model} of {len(devices)} "
+            "available devices; pass `devices` explicitly to silence",
+            stacklevel=2,
+        )
         devices = devices[: data * model]  # use the first data*model devices
     if data * model != len(devices):
         raise ValueError(f"mesh {data}x{model} != {len(devices)} devices")

@@ -15,9 +15,14 @@ device_put); jit infers in_shardings from the committed placements and GSPMD
 emits the reduce(s) over ICI. Megatron-style, minus the manual comm.
 
 Attention under TP: attn_impl='xla' partitions automatically via GSPMD;
-attn_impl='flash_tp' runs the Pallas flash kernel per-shard through
-jax.shard_map (see kernels/flash_attention.py) — it requires executing under
-`jax.set_mesh(mesh)` and head counts divisible by the 'model' axis size.
+attn_impl='flash' runs the Pallas flash kernel, which SELF-shards over
+(batch, heads) via custom_partitioning + SdyShardingRule
+(pallas_flash._def_bh_partition) — no ambient mesh or call-site shard_map
+needed; head counts must divide by the 'model' axis size. 'flash_tp' is a
+legacy alias for the same path (the round-1 shard_map design is gone).
+attn_impl='flash_packed' ('auto' on big sequences) is NOT TP-compatible:
+its (B, N, 3C) lane dim must stay replicated — shard_train_state rejects
+models left on it.
 """
 
 from __future__ import annotations

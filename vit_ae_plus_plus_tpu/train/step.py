@@ -46,6 +46,19 @@ def make_train_step(
     (reference k_fold_…_brats.py:183-187) never triggers recompilation.
     """
     contrastive = getattr(model.cfg, "contrastive", False)
+    if (
+        mesh is not None
+        and mesh.shape.get("model", 1) > 1
+        and getattr(model.cfg, "attn_impl", "auto") in ("auto", "flash_packed")
+    ):
+        # the packed kernel's (B, N, 3C) lane dim is replicated: under tensor
+        # parallelism it would silently all-gather full qkv per layer; TP runs
+        # must pick the self-sharding 'flash' kernel (or 'xla') explicitly
+        raise ValueError(
+            "attn_impl='auto'/'flash_packed' is not tensor-parallel-safe; "
+            "build the model with attn_impl='flash' (self-sharding) or 'xla' "
+            "for a mesh with a model axis > 1"
+        )
 
     def step_fn(state: TrainState, view1, view2, rng, edge_map_weight):
         rng1 = jax.random.fold_in(rng, state.step)

@@ -208,5 +208,17 @@ def write_projector(
         with open(os.path.join(log_dir, meta_file), "w") as f:
             f.write("\n".join(str(x) for x in labels) + "\n")
         entry.append(f'  metadata_path: "{meta_file}"')
-    with open(os.path.join(log_dir, "projector_config.pbtxt"), "a") as f:
-        f.write("embeddings {\n" + "\n".join(entry) + "\n}\n")
+    # idempotent on re-runs (e.g. extraction under --resume): drop any
+    # existing block for this tag before appending the fresh one
+    config_path = os.path.join(log_dir, "projector_config.pbtxt")
+    blocks = []
+    if os.path.exists(config_path):
+        with open(config_path) as f:
+            content = f.read()
+        blocks = [
+            b for b in content.split("embeddings {")
+            if b.strip() and f'tensor_name: "{tag}"' not in b
+        ]
+    blocks.append("\n" + "\n".join(entry) + "\n}\n")
+    with open(config_path, "w") as f:
+        f.write("".join("embeddings {" + b for b in blocks))
