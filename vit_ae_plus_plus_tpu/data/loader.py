@@ -149,11 +149,34 @@ class DeviceResidentBatches:
     Epoch shuffling matches `Loader` (epoch_shard with the same seed), so
     batch ORDER is identical to the host path; `raw=True` datasets only
     (normalisation happens on device with the augment pipeline).
+
+    Multi-host: the SPMD arrangement is a GLOBAL mesh — stage the store
+    replicated (`sharding=NamedSharding(mesh, P())`) and gather batches in the
+    step's layout (`batch_sharding=NamedSharding(mesh, P('data'))`). Every
+    process runs the identical program over the identical global epoch order
+    (same seed), and GSPMD splits the gather so each device materialises only
+    its P('data') rows — no per-rank index lists, no duplicated batches.
+    Without a process-spanning mesh there is NO correct multi-process mode
+    (each process would train on identical data), so that combination raises;
+    use the streaming `Loader(shard_across_processes=True)` instead.
     """
 
     def __init__(self, dataset, batch_size: int, indices=None, seed: int = 0,
                  drop_last: bool = True, sharding=None, batch_sharding=None):
         import jax
+
+        if jax.process_count() > 1:
+            mesh_devices = getattr(getattr(sharding, "mesh", None), "devices", None)
+            spans_all = (mesh_devices is not None
+                         and mesh_devices.size == jax.device_count())
+            if not spans_all:
+                raise ValueError(
+                    "DeviceResidentBatches under jax.process_count() > 1 needs "
+                    "a process-spanning mesh (sharding=NamedSharding(mesh, P()), "
+                    "batch_sharding=NamedSharding(mesh, P('data'))); without it "
+                    "every host would train on identical batches. Use "
+                    "Loader(shard_across_processes=True) for per-host streams."
+                )
 
         ids = np.asarray(indices if indices is not None else np.arange(len(dataset)))
         vols = np.stack([np.asarray(dataset[i][0], np.float32) for i in ids])
