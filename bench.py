@@ -228,6 +228,14 @@ def main():
             "mfu_vs_197tflops_peak": round(mfu, 4),
             "e2e_epoch_volumes_per_sec": round(e2e, 2),
             "e2e_over_step_ratio": round(e2e / tuned, 3),
+            # framework-side proof of the loader->device_put->step pipeline:
+            # consumer stall fraction with a synthetic slow dataset (the raw
+            # e2e number on this dev box is tunnel-bound, not pipeline-bound)
+            "streaming_overlap_stall_fraction": round(
+                __import__(
+                    "vit_ae_plus_plus_tpu.data.loader", fromlist=["x"]
+                ).measure_prefetch_overlap()[0], 3
+            ),
             "e2e_device_resident_volumes_per_sec": round(
                 measure_e2e_device_resident(tuned_batch), 2
             ),

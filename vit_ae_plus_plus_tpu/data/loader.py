@@ -213,6 +213,44 @@ class DeviceResidentBatches:
             yield batch, batch, self._labels[idx]
 
 
+def measure_prefetch_overlap(load_ms: float = 20.0, compute_ms: float = 30.0,
+                             n_batches: int = 10, batch_size: int = 2):
+    """Measure the streaming pipeline's consumer stall fraction with a
+    synthetic slow dataset and a simulated device step: with the producer
+    thread + prefetch queue + device_put put-ahead working, batch k+1 is
+    loaded while the consumer is busy with batch k, so an epoch costs
+    ~ n * max(load, compute), not ~ n * (load + compute). Returns
+    (stall_fraction, total_seconds). Used by tests/test_loader_sharding.py
+    (the CI proof) and bench.py --full (recorded in BENCH_DETAILS — the raw
+    e2e number on the dev box is tunnel-bound, so the pipeline design is
+    proven framework-side)."""
+    import time
+
+    class _SlowDs:
+        labels = np.zeros(n_batches * batch_size, np.int64)
+
+        def __len__(self):
+            return n_batches * batch_size
+
+        def __getitem__(self, i):
+            time.sleep(load_ms / 1e3 / batch_size)  # GIL released
+            v = np.zeros((1, 8, 8, 8), np.float32)
+            return v, v, 0
+
+    loader = Loader(_SlowDs(), batch_size, shuffle=False, drop_last=True,
+                    num_workers=1, prefetch=2, seed=0)
+    for _ in device_prefetch(loader, size=2):  # warm the thread pool
+        break
+    t0 = time.perf_counter()
+    n = 0
+    for _aug, _orig, _lab in device_prefetch(loader, size=2):
+        time.sleep(compute_ms / 1e3)  # the "device step"
+        n += 1
+    total = time.perf_counter() - t0
+    stall = max(0.0, 1.0 - (n * compute_ms / 1e3) / total)
+    return stall, total
+
+
 class Loader:
     """Iterable over (augmented, original, labels) numpy batches."""
 
