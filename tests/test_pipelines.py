@@ -160,6 +160,27 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         assert f.shape[1] == 24  # trunk cls-token feature width
 
 
+def test_moco_kfold_on_data_mesh(synthetic_brats, tmp_path):
+    """MoCo rides the data mesh like pretrain_kfold (the reference's MoCo is
+    its most distributed path — mp.spawn + DDP, main_3d_moco_k_fold.py:153-188):
+    batch sharded P('data') over 4 virtual devices, state replicated."""
+    import jax
+    from vit_ae_plus_plus_tpu.parallel import make_mesh
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    results = moco_kfold(
+        data_cfg, train_cfg, str(tmp_path / "w"), n_splits=2,
+        moco_dim=16, moco_mlp_dim=32, epochs=1, warmup_epochs=1,
+        vit_overrides=dict(patch_size=4, embed_dim=24, depth=1, num_heads=3),
+        mesh=mesh,
+    )
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+
+
 def test_contrastive_train_end_to_end(synthetic_brats, tmp_path):
     """Stage-2 contrastive ViT trainer (reference's dormant 2-view loop,
     utils/train_one_epoch.py:117-181)."""
@@ -177,6 +198,24 @@ def test_contrastive_train_end_to_end(synthetic_brats, tmp_path):
     # negative symmetric cosine is bounded in [-1, 1] (tiny tolerance for fp)
     assert -1.001 <= out["min_loss"] <= 1.001
     assert os.path.isdir(out["checkpoint"])
+
+
+def test_contrastive_train_on_data_mesh(synthetic_brats, tmp_path):
+    """contrastive_train accepts the same data mesh as pretrain_kfold."""
+    import jax
+    from vit_ae_plus_plus_tpu.parallel import make_mesh
+    from vit_ae_plus_plus_tpu.pipelines.contrastive import contrastive_train
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32")
+    out = contrastive_train(
+        data_cfg, train_cfg, str(tmp_path / "w"), use_proj=False,
+        vit_overrides=dict(embed_dim=24, depth=1, num_heads=3), mesh=mesh,
+    )
+    assert np.isfinite(out["min_loss"])
 
 
 def test_explore_data_demo(synthetic_brats, tmp_path):

@@ -183,6 +183,13 @@ def main(argv=None):
 
         enable_compilation_cache()
 
+    def _data_mesh(n_devices):
+        if n_devices is None or n_devices <= 1:
+            return None
+        from vit_ae_plus_plus_tpu.parallel import make_mesh
+
+        return make_mesh(data=n_devices)
+
     if args.cmd == "pretrain-kfold":
         from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
 
@@ -216,6 +223,7 @@ def main(argv=None):
             data_cfg, train_cfg, args.work_dir, n_splits=args.n_splits,
             arch=args.moco_arch, resnet_depth=args.resnet_depth,
             moco_dim=args.moco_dim, moco_mlp_dim=args.moco_mlp_dim,
+            mesh=_data_mesh(args.n_devices),
         )
     elif args.cmd == "moco-extract":
         from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_extract
@@ -239,7 +247,8 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.pipelines.contrastive import contrastive_train
 
         out = contrastive_train(data_cfg, train_cfg, args.work_dir,
-                                use_proj=args.use_proj)
+                                use_proj=args.use_proj,
+                                mesh=_data_mesh(args.n_devices))
     elif args.cmd == "eval-classical":
         from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_features
 

@@ -25,6 +25,7 @@ import optax
 
 from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig, ViTConfig
 from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
+from vit_ae_plus_plus_tpu.data.loader import device_prefetch
 from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3DContrastive
 from vit_ae_plus_plus_tpu.ops import negative_cosine_loss
 from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
@@ -41,7 +42,7 @@ class ContrastiveState:
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
 
-def make_contrastive_step(model):
+def make_contrastive_step(model, mesh=None):
     """loss = -(cos(p1, z2) + cos(p2, z1))/2 (train_one_epoch.py:144)."""
 
     def step(state: ContrastiveState, original, augmented):
@@ -62,6 +63,15 @@ def make_contrastive_step(model):
             {"loss": loss},
         )
 
+    if mesh is not None:
+        # batch over 'data', state replicated — same shardings as
+        # pretrain_kfold's step (train/step.py)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(step, in_shardings=(repl, data, data),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -72,6 +82,7 @@ def contrastive_train(
     use_proj: bool = False,
     epochs: Optional[int] = None,
     vit_overrides: Optional[Dict] = None,
+    mesh=None,
 ) -> Dict:
     """Train a VisionTransformer3DContrastive on 2-view (original, augmented)
     pairs over the whole SSL pool."""
@@ -107,14 +118,24 @@ def contrastive_train(
         opt_state=tx.init(variables["params"]),
         tx=tx,
     )
-    step = make_contrastive_step(model)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit_ae_plus_plus_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
+        batch_sharding = NamedSharding(mesh, P("data"))
+    step = make_contrastive_step(model, mesh=mesh)
     jsonl = JsonlLogger(work_dir)
     ckpt_path = os.path.join(work_dir, "checkpoints", "checkpoint-min_loss")
 
     min_loss = float("inf")
     for epoch in range(epochs):
         losses = []
-        for aug, orig, _lab in loader:
+        batches = (device_prefetch(loader, size=2, sharding=batch_sharding)
+                   if mesh is not None else loader)
+        for aug, orig, _lab in batches:
             # reference call order: model(original, augmented)
             # (train_one_epoch.py:142)
             state, metrics = step(state, orig, aug)

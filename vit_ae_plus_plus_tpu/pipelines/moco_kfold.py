@@ -27,7 +27,7 @@ import optax
 
 from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig, ViTConfig
 from vit_ae_plus_plus_tpu.data import Loader, get_dataset, default_ssl_transforms
-from vit_ae_plus_plus_tpu.data.loader import all_labels
+from vit_ae_plus_plus_tpu.data.loader import all_labels, device_prefetch
 from vit_ae_plus_plus_tpu.data.splits import kfold_indices
 from vit_ae_plus_plus_tpu.models.moco import (
     MoCoResNet3D,
@@ -75,7 +75,7 @@ class TwoCropsDataset:
         return v1, v2, label
 
 
-def make_moco_train_step(model, temperature: float = 1.0):
+def make_moco_train_step(model, temperature: float = 1.0, mesh=None):
     def step(state: MoCoState, x1, x2, m):
         def loss_fn(params):
             loss, new_bs = moco_loss(
@@ -104,6 +104,17 @@ def make_moco_train_step(model, temperature: float = 1.0):
             {"loss": loss},
         )
 
+    if mesh is not None:
+        # data-parallel over the mesh, exactly as pretrain_kfold's step: the
+        # reference's MoCo is its MOST distributed path (mp.spawn + DDP,
+        # main_3d_moco_k_fold.py:153-188) — here the batch shards over 'data'
+        # and GSPMD emits the gradient/BN reductions
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(step, in_shardings=(repl, data, data, repl),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -145,6 +156,7 @@ def moco_kfold(
     vit_overrides: Optional[Dict] = None,
     arch: str = "vit",
     resnet_depth: int = 10,
+    mesh=None,
 ) -> Dict:
     epochs = epochs if epochs is not None else train_cfg.epochs
     transforms = default_ssl_transforms()
@@ -165,10 +177,16 @@ def moco_kfold(
     )
 
     two_crops = TwoCropsDataset(dataset_v1)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
     results = {}
     for fold_idx, (train_ids, _test_ids) in enumerate(fold_list):
         loader = Loader(two_crops, train_cfg.batch_size, indices=train_ids,
-                        shuffle=True, drop_last=True, seed=train_cfg.seed)
+                        shuffle=True, drop_last=True, seed=train_cfg.seed,
+                        shard_across_processes=mesh is not None)
         actual_lr = lr * train_cfg.batch_size / 256
         sched = warmup_cosine_schedule(actual_lr, 0.0, warmup_epochs, epochs, len(loader))
         tx = make_lars(sched, weight_decay=weight_decay)
@@ -186,14 +204,20 @@ def moco_kfold(
             opt_state=tx.init(variables["params"]),
             tx=tx,
         )
-        train_step = make_moco_train_step(model, temperature)
+        if mesh is not None:
+            from vit_ae_plus_plus_tpu.parallel import replicate
+
+            state = replicate(state, mesh)
+        train_step = make_moco_train_step(model, temperature, mesh=mesh)
 
         ckpt_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
                                  "checkpoint-min_loss")
         min_loss = float("inf")
         for epoch in range(epochs):
             epoch_losses = []
-            for i, (v1, v2, _lab) in enumerate(loader):
+            batches = (device_prefetch(loader, size=2, sharding=batch_sharding)
+                       if mesh is not None else loader)
+            for i, (v1, v2, _lab) in enumerate(batches):
                 m = (
                     adjust_moco_momentum(epoch + i / len(loader), moco_m, epochs)
                     if moco_m_cos else moco_m
