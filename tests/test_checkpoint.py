@@ -102,3 +102,22 @@ def test_torch_import_shim_layouts():
     np.testing.assert_allclose(kernel[2], w[:, 0, 0, 0, 1])   # then dx
     # decoder_pos_embed skipped (fixed constant in this framework)
     assert "decoder_pos_embed" not in params
+
+
+def test_resolve_checkpoint_path_url_and_local(tmp_path):
+    """URL checkpoints download once into the cache (reference resume-from-URL,
+    utils/misc.py:318-323); local paths pass through untouched."""
+    from vit_ae_plus_plus_tpu.train.checkpoint import resolve_checkpoint_path
+
+    src = tmp_path / "ckpt.pth"
+    src.write_bytes(b"payload")
+    cache = tmp_path / "cache"
+    url = "file://" + str(src)
+    got = resolve_checkpoint_path(url, cache_dir=str(cache))
+    assert got == str(cache / "ckpt.pth")
+    assert (cache / "ckpt.pth").read_bytes() == b"payload"
+    # cached: a second resolve must not re-download
+    src.write_bytes(b"changed")
+    assert resolve_checkpoint_path(url, cache_dir=str(cache)) == got
+    assert (cache / "ckpt.pth").read_bytes() == b"payload"
+    assert resolve_checkpoint_path("/some/local/path") == "/some/local/path"

@@ -178,6 +178,11 @@ def main(argv=None):
 
     data_cfg, train_cfg = _configs(args)
 
+    if getattr(args, "checkpoint", None):
+        from vit_ae_plus_plus_tpu.train.checkpoint import resolve_checkpoint_path
+
+        args.checkpoint = resolve_checkpoint_path(args.checkpoint)
+
     if args.cmd not in ("eval-classical",):  # jax-backed subcommands
         from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
 

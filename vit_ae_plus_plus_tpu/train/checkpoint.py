@@ -71,6 +71,32 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
 
+def resolve_checkpoint_path(path_or_url: str, cache_dir: Optional[str] = None) -> str:
+    """Accept a local path OR a URL for any checkpoint argument.
+
+    Parity: the reference resumes straight from an http(s) URL via
+    torch.hub.load_state_dict_from_url (utils/misc.py:318-323). Here a URL is
+    downloaded once into ~/.cache/vit_ae_plus_plus_tpu/checkpoints (keyed by
+    basename, like torch.hub's model dir) and the cached local path is
+    returned; local paths pass through untouched."""
+    if not (path_or_url.startswith("http://") or path_or_url.startswith("https://")
+            or path_or_url.startswith("file://")):
+        return path_or_url
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "vit_ae_plus_plus_tpu", "checkpoints"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    name = os.path.basename(urllib.parse.urlparse(path_or_url).path) or "checkpoint"
+    target = os.path.join(cache_dir, name)
+    if not os.path.exists(target):
+        print(f"Downloading checkpoint {path_or_url} -> {target}")
+        urllib.request.urlretrieve(path_or_url, target)
+    return target
+
+
 def save_params(path: str, params: Any) -> None:
     """Flat single-file param dump (for feature-extraction handoff).
     Overwrites: min-loss checkpoints are re-saved whenever the loss improves
