@@ -32,6 +32,7 @@ class ViTConfig:
     attn_drop_rate: float = 0.0
     dtype: str = "float32"  # compute dtype; params stay float32
     attn_impl: str = "auto"
+    ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     @property
@@ -67,6 +68,7 @@ class MAEConfig:
     # reference vit_autoenc.py:253-262 builds it, :270-285 never applies it)
     dtype: str = "float32"
     attn_impl: str = "auto"
+    ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     @property
@@ -97,6 +99,7 @@ class MAEConfig:
             global_pool=global_pool,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            ln_fusion=self.ln_fusion,
         )
 
 

@@ -69,8 +69,75 @@ class FusedLayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class LNParams(nn.Module):
+    """Parameter holder matching flax nn.LayerNorm ('scale'/'bias') for the
+    fused LN+Dense path: the LN math runs inside kernels.fused_ln_dense, but
+    the parameters keep their unfused names/paths so checkpoints are
+    interchangeable between the fused and unfused graphs."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense ('kernel'/'bias') — see LNParams."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", dense_init, (self.in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _use_fused_ln(mode: str, dim: int, dtype, kind: str = "qkv") -> bool:
+    """Gate for the fused LN+Dense kernel (kernels/fused_ln_dense.py).
+
+    MEASURED NEGATIVE RESULT (round 3, TPU v5e, flagship B16 bf16 step) —
+    'auto' therefore never fuses; 'on' forces fusion everywhere (tests /
+    other hardware); 'off' never.
+
+    Isolated per-instance timings (fwd / fwd+bwd ms): enc qkv 1.36/1.92
+    fused vs 1.70/2.15 XLA (a real ~0.5 ms/layer win), dec qkv 2.56/1.88 vs
+    1.79/1.75 (loss), enc mlp 1.37/2.22 vs 1.41/2.14 and dec mlp 1.67/2.30
+    vs 1.57/2.03 (wash/loss). IN-MODEL: all-fused 49.9 vol/s, encoder-qkv-
+    only 60.1, unfused 61.7 — even the isolated-win configuration loses
+    ~7 ms/step net. Together with round 2's standalone fused-LN result
+    (53.4 vs 57.3) the lesson is now three-for-three: on this chip XLA's
+    in-model fusion web around matmuls (residual adds, converts, epilogues)
+    is worth more than any LN custom call saves, at every granularity tried
+    — LN alone, LN+Dense everywhere, LN+Dense only where isolation wins.
+    Only the attention kernels (far larger ops) overcome the boundary."""
+    if mode == "on":
+        return True
+    if mode != "auto":
+        return False
+    return False  # 'auto': measured net-negative on TPU v5e — see above
+
+
+def _fused_ln_dense_call(x, ln_params, dense_params):
+    from vit_ae_plus_plus_tpu.kernels.fused_ln_dense import fused_ln_dense
+
+    scale, bias = ln_params
+    kernel, b = dense_params
+    return fused_ln_dense(
+        x, scale, bias, kernel, b, 1e-6, jax.default_backend() != "tpu"
+    )
+
+
 class Mlp(nn.Module):
-    """Transformer MLP (reference model/vit.py:78-96)."""
+    """Transformer MLP (reference model/vit.py:78-96).
+
+    `ln` (scale, bias): when given, the pre-MLP LayerNorm is fused into
+    Dense_0 via the Pallas kernel and `x` must be the UN-normalised stream.
+    """
 
     hidden_dim: int
     out_dim: int
@@ -78,11 +145,17 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype)(x)
+    def __call__(self, x, deterministic: bool = True, ln=None):
+        if ln is not None:
+            dp = DenseParams(self.hidden_dim, x.shape[-1], name="Dense_0")()
+            x = _fused_ln_dense_call(x, ln, dp)
+        else:
+            x = nn.Dense(self.hidden_dim, kernel_init=dense_init, dtype=self.dtype,
+                         name="Dense_0")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, kernel_init=dense_init, dtype=self.dtype)(x)
+        x = nn.Dense(self.out_dim, kernel_init=dense_init, dtype=self.dtype,
+                     name="Dense_1")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -97,10 +170,18 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None):
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        qkv = nn.Dense(3 * c, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
+        if ln is not None:
+            # fused pre-LN + qkv projection: one Pallas program computes the
+            # LN statistics and the (B, N, 3C) projection; the normalised
+            # activations never reach HBM (kernels/fused_ln_dense.py)
+            dp = DenseParams(3 * c, c, name="qkv")()
+            qkv = _fused_ln_dense_call(x, ln, dp)
+        else:
+            qkv = nn.Dense(3 * c, kernel_init=dense_init, dtype=self.dtype,
+                           name="qkv")(x)
         impl = self.attn_impl
         if impl == "auto":
             # packed-I/O kernel measured fastest in-model wherever it applies
@@ -139,7 +220,13 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN transformer block (reference model/vit.py:126-144)."""
+    """Pre-LN transformer block (reference model/vit.py:126-144).
+
+    On TPU in bf16 the two LayerNorms fuse into their adjacent projections
+    (norm1 -> attn.qkv, norm2 -> mlp.Dense_0) via the Pallas LN+Dense kernel;
+    parameter names/paths are identical either way, so checkpoints are
+    interchangeable between the fused and unfused graphs.
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -147,22 +234,34 @@ class Block(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    ln_fusion: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(
+        fuse_qkv = _use_fused_ln(self.ln_fusion, dim, self.dtype, "qkv")
+        fuse_mlp = _use_fused_ln(self.ln_fusion, dim, self.dtype, "mlp")
+        attn = Attention(
             self.num_heads,
             attn_impl=self.attn_impl,
             dropout=self.attn_dropout,
             dtype=self.dtype,
             name="attn",
-        )(y, deterministic)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(
-            int(dim * self.mlp_ratio), dim, dropout=self.dropout, dtype=self.dtype, name="mlp"
-        )(y, deterministic)
+        )
+        mlp = Mlp(
+            int(dim * self.mlp_ratio), dim, dropout=self.dropout, dtype=self.dtype,
+            name="mlp",
+        )
+        if fuse_qkv:
+            x = x + attn(x, deterministic, ln=LNParams(dim, name="norm1")())
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+            x = x + attn(y, deterministic)
+        if fuse_mlp:
+            x = x + mlp(x, deterministic, ln=LNParams(dim, name="norm2")())
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+            x = x + mlp(y, deterministic)
         return x
 
 
@@ -204,6 +303,7 @@ class VisionTransformer3D(nn.Module):
                 dropout=c.drop_rate,
                 attn_dropout=c.attn_drop_rate,
                 dtype=_dt(c.dtype),
+                ln_fusion=c.ln_fusion,
                 name=f"blocks_{i}",
             )
             for i in range(c.depth)
