@@ -68,3 +68,29 @@ def test_soft_ce_matches_reference_semantics():
         )
     )
     assert np.isclose(got, want, rtol=1e-4)
+
+
+def test_volume_space_recon_equals_patch_space():
+    """The voxel-space masked MSE used by train/objective.py (norm_pix=False)
+    must equal the reference's per-patch-mean formulation exactly, for both
+    single- and multi-channel volumes."""
+    import jax
+
+    from vit_ae_plus_plus_tpu.ops import patchify, unpatchify
+    from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
+
+    for c in (1, 4):
+        p, s, b = 4, 16, 3
+        g = s // p
+        L = g**3
+        key = jax.random.PRNGKey(c)
+        view1 = jax.random.normal(key, (b, c, s, s, s))
+        pred = jax.random.normal(jax.random.fold_in(key, 1), (b, L, p**3 * c))
+        mask = (jax.random.uniform(jax.random.fold_in(key, 2), (b, L)) < 0.75)
+        mask = mask.astype(jnp.float32)
+        target = patchify(view1, p)
+        want = masked_mse_loss(pred, target, mask)
+        _, metrics = mae_loss_terms({"pred": pred, "mask": mask}, view1, p)
+        # fp summation order differs between the two formulations
+        np.testing.assert_allclose(float(metrics["reconstruction_loss"]),
+                                   float(want), rtol=1e-5)

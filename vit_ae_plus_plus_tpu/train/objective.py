@@ -54,25 +54,40 @@ def mae_loss_terms(
     """Model outputs + input -> (total_loss, metrics dict)."""
     pred, mask = outputs["pred"], outputs["mask"]
 
-    target = patchify(view1, patch_size).astype(jnp.float32)
+    pred_f32 = pred.astype(jnp.float32)
+    pred_vol = unpatchify(pred_f32, patch_size)
     if norm_pix_loss:
+        target = patchify(view1, patch_size).astype(jnp.float32)
         mean = target.mean(axis=-1, keepdims=True)
         var = target.var(axis=-1, keepdims=True)
         target = (target - mean) / (var + 1.0e-6) ** 0.5
-
-    pred_f32 = pred.astype(jnp.float32)
-    pred_vol = unpatchify(pred_f32, patch_size)
-    # unpatchify(patchify(v)) == v exactly: only the norm_pix branch actually
-    # changes the target, so skip the 56 MB round-trip (and its padded layout
-    # copies) in the default configuration
-    target_vol = unpatchify(target, patch_size) if norm_pix_loss else view1
+        target_vol = unpatchify(target, patch_size)
+        recon = masked_mse_loss(pred_f32, target, mask)
+    else:
+        # unpatchify(patchify(v)) == v exactly, and the per-patch-mean masked
+        # MSE equals a voxel-space masked sum: sum_patches(mask * mean_p sq) /
+        # sum(mask) == sum_vox(sq * mask_vox) / (sum(mask) * p^3). Computing
+        # it in volume space deletes patchify(target) entirely — profiler:
+        # one ~2 ms 8-D layout copy + ~1.2 ms reshape per step — and shares
+        # the single unpatchify(pred) with the edge-loss branch; the mask
+        # broadcast fuses into the squared-difference elementwise pipeline.
+        target_vol = view1
+        b = mask.shape[0]
+        g = view1.shape[-1] // patch_size
+        s = view1.shape[-1]
+        mask_vox = jnp.broadcast_to(
+            mask.reshape(b, 1, g, 1, g, 1, g, 1).astype(jnp.float32),
+            (b, 1, g, patch_size, g, patch_size, g, patch_size),
+        ).reshape(b, 1, s, s, s)
+        sq = (pred_vol - view1.astype(jnp.float32)) ** 2
+        recon = jnp.sum(sq * mask_vox) / (
+            jnp.sum(mask.astype(jnp.float32)) * patch_size**3 * pred_vol.shape[1]
+        )
 
     pred_edges = sobel_edges_3d(pred_vol)
     target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol, 2.0))
     raw_edge = edge_map_loss(pred_edges, target_edges)
     edge_loss = edge_map_weight * raw_edge
-
-    recon = masked_mse_loss(pred_f32, target, mask)
 
     if perceptual_fn is not None and perceptual_weight:
         percep = perceptual_weight * perceptual_fn(pred_vol, target_vol)
