@@ -51,6 +51,29 @@ def test_seq_sharded_matches_reference(mesh_shape):
         )
 
 
+def test_flash_seq_impl_in_trunk():
+    """attn_impl='flash_seq' runs the ViT trunk with the token axis sharded
+    over the ambient mesh's 'model' axis and matches the 'xla' trunk."""
+    from vit_ae_plus_plus_tpu.configs import ViTConfig
+    from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D
+
+    cfg = ViTConfig(volume_size=16, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=2, num_heads=4, num_classes=0, global_pool=True,
+                    attn_impl="flash_seq")
+    cfg_ref = ViTConfig(**{**cfg.__dict__, "attn_impl": "xla"})
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 16, 16, 16))
+    model = VisionTransformer3D(cfg)
+    ref = VisionTransformer3D(cfg_ref)
+    params = ref.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x)
+    want = ref.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_seq_sharded_output_layout():
     """The output stays sharded over 'model' on the padded row axis until the
     final slice, and the public result matches the input's logical shape."""
