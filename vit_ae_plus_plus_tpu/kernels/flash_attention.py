@@ -59,4 +59,18 @@ def multihead_attention(
         from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
         return flash_attention(q, k, v, scale, interpret=interpret)
+    if impl == "flash_seq":
+        # SEQUENCE-parallel: the token axis shards over the ambient mesh's
+        # 'model' axis (long-context volumes past one chip, SURVEY §5.7).
+        # Requires running under `jax.set_mesh(mesh)`; batch rides 'data'.
+        from vit_ae_plus_plus_tpu.kernels.seq_flash import seq_sharded_flash_attention
+
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh.shape.get("model", 1) == 1:
+            from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
+
+            return flash_attention(q, k, v, scale, interpret=interpret)
+        return seq_sharded_flash_attention(
+            q, k, v, mesh, scale=scale, interpret=interpret
+        )
     raise ValueError(f"unknown attention impl {impl!r}")
