@@ -96,3 +96,32 @@ def test_fastdec_preset_same_params_different_heads():
         if getattr(base, f.name) != getattr(fast, f.name)
     }
     assert diffs == {"decoder_num_heads"}
+
+
+def test_fast_preset_same_params_widest_heads():
+    """The `_fast` preset widens heads to the d=128 floor-optimal split in
+    BOTH trunks (6-head encoder, 4-head decoder) without touching any
+    parameter shape — parity checkpoints load unchanged."""
+    import dataclasses
+
+    import jax
+
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+
+    base = MODEL_ZOO["contr_mae_vit_base_patch16"](volume_size=16, patch_size=4)
+    fast = MODEL_ZOO["contr_mae_vit_base_patch16_fast"](volume_size=16, patch_size=4)
+    assert fast.num_heads == 6 and fast.decoder_num_heads == 4
+    assert fast.embed_dim // fast.num_heads == 128
+    assert fast.decoder_embed_dim // fast.decoder_num_heads == 128
+    diffs = {
+        f.name
+        for f in dataclasses.fields(base)
+        if getattr(base, f.name) != getattr(fast, f.name)
+    }
+    assert diffs == {"num_heads", "decoder_num_heads"}
+    # parameter trees are byte-identical in structure and shape
+    x = jax.numpy.zeros((1, 1, 16, 16, 16))
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    pb = build_model(base).init(rngs, x, x)["params"]
+    pf = build_model(fast).init(rngs, x, x)["params"]
+    assert jax.tree.map(lambda a: a.shape, pb) == jax.tree.map(lambda a: a.shape, pf)
