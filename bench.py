@@ -214,12 +214,17 @@ def main():
         # parameter shapes, ~1.5x faster on the step's dominant component
         fastdec = measure("bfloat16", tuned_batch, "auto",
                           model="contr_mae_vit_base_patch16_fastdec")
+        # widest-head opt-in preset (6 x d128 enc, 4 x d128 dec): the
+        # MXU-floor-optimal split at identical parameter shapes
+        fast = measure("bfloat16", tuned_batch, "auto",
+                       model="contr_mae_vit_base_patch16_fast")
         # the faithful leg minus the (gradient-free) VGG forward, isolating
         # how much of the reference's per-step cost is that one quirk
         faithful_novgg = measure_reference_faithful(run_vgg=False)
         details = {
             "tuned_volumes_per_sec": round(tuned, 2),
             "fastdec_optin_volumes_per_sec": round(fastdec, 2),
+            "fast_optin_volumes_per_sec": round(fast, 2),
             "parity_f32_b4_volumes_per_sec": round(base, 2),
             "reference_faithful_volumes_per_sec": round(faithful, 2),
             "reference_faithful_novgg_volumes_per_sec": round(faithful_novgg, 2),
