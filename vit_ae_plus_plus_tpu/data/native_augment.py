@@ -1,4 +1,5 @@
-"""ctypes bindings for the native host-augmentation library (native/augment3d.cpp).
+"""ctypes bindings for the native host-augmentation library
+(vit_ae_plus_plus_tpu/native/augment3d.cpp).
 
 Why native: the host stage of the input pipeline runs the torchio-default
 policy per sample (reference k_fold_cross_valid_combined_brats.py:93-97).
@@ -30,8 +31,10 @@ import numpy as np
 
 from vit_ae_plus_plus_tpu.data.transforms import Transform
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "augment3d.cpp")
+# the C++ source ships INSIDE the package (vit_ae_plus_plus_tpu/native/) so
+# pip installs carry it; the build cache lives next to it
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native", "augment3d.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False

@@ -121,7 +121,7 @@ class RandomBlur(Transform):
 def default_ssl_transforms(native: str = "auto") -> Compose:
     """The pretraining policy (k_fold_…_brats.py:93-97).
 
-    `native='auto'` uses the C++ kernels (native/augment3d.cpp via
+    `native='auto'` uses the C++ kernels (vit_ae_plus_plus_tpu/native/augment3d.cpp via
     data/native_augment.py — same parameter distributions, ~20x faster per
     volume) when the library builds on this machine, scipy otherwise;
     'never' forces scipy, 'require' raises if the library is unavailable.
