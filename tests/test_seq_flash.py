@@ -51,6 +51,18 @@ def test_seq_sharded_matches_reference(mesh_shape):
         )
 
 
+def test_seq_sharded_bf16_forward():
+    """bf16 (the TPU compute dtype): sharded forward matches the reference
+    to bf16 tolerance."""
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    q, k, v = _qkv(dtype=jnp.bfloat16)
+    o = seq_sharded_flash_attention(q, k, v, mesh)
+    ref = _xla_attention(q, k, v, D**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
 def test_flash_seq_impl_in_trunk():
     """attn_impl='flash_seq' runs the ViT trunk with the token axis sharded
     over the ambient mesh's 'model' axis and matches the 'xla' trunk."""
