@@ -190,6 +190,15 @@ def measure_e2e_device_resident(batch: int = 16, n_volumes: int = 160) -> float:
     return n * batch / (time.perf_counter() - t0)
 
 
+def _overlap_stall() -> float:
+    """Framework-side proof of the loader->device_put->step pipeline: the
+    consumer stall fraction over a synthetic slow dataset (the raw e2e number
+    on this dev box is tunnel-bound, not pipeline-bound)."""
+    from vit_ae_plus_plus_tpu.data.loader import measure_prefetch_overlap
+
+    return measure_prefetch_overlap()[0]
+
+
 def main():
     full = "--full" in sys.argv
     # parity-style path: f32, batch 4, XLA attention (how the reference runs)
@@ -236,11 +245,7 @@ def main():
             # framework-side proof of the loader->device_put->step pipeline:
             # consumer stall fraction with a synthetic slow dataset (the raw
             # e2e number on this dev box is tunnel-bound, not pipeline-bound)
-            "streaming_overlap_stall_fraction": round(
-                __import__(
-                    "vit_ae_plus_plus_tpu.data.loader", fromlist=["x"]
-                ).measure_prefetch_overlap()[0], 3
-            ),
+            "streaming_overlap_stall_fraction": round(_overlap_stall(), 3),
             "e2e_device_resident_volumes_per_sec": round(
                 measure_e2e_device_resident(tuned_batch), 2
             ),

@@ -1,6 +1,8 @@
 """Checkpoint manager: save/restore round-trip + resume, and the torch .pth
 import shim layout conversions."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,10 +116,19 @@ def test_resolve_checkpoint_path_url_and_local(tmp_path):
     cache = tmp_path / "cache"
     url = "file://" + str(src)
     got = resolve_checkpoint_path(url, cache_dir=str(cache))
-    assert got == str(cache / "ckpt.pth")
-    assert (cache / "ckpt.pth").read_bytes() == b"payload"
+    # cache keyed by URL hash + basename (distinct URLs sharing a basename
+    # must not collide), no stray .part file left behind
+    assert got.endswith("_ckpt.pth") and got.startswith(str(cache))
+    assert open(got, "rb").read() == b"payload"
+    assert not os.path.exists(got + ".part")
     # cached: a second resolve must not re-download
     src.write_bytes(b"changed")
     assert resolve_checkpoint_path(url, cache_dir=str(cache)) == got
-    assert (cache / "ckpt.pth").read_bytes() == b"payload"
+    assert open(got, "rb").read() == b"payload"
+    # a different URL with the same basename gets its own cache entry
+    src2 = tmp_path / "other" / "ckpt.pth"
+    src2.parent.mkdir()
+    src2.write_bytes(b"other-model")
+    got2 = resolve_checkpoint_path("file://" + str(src2), cache_dir=str(cache))
+    assert got2 != got and open(got2, "rb").read() == b"other-model"
     assert resolve_checkpoint_path("/some/local/path") == "/some/local/path"

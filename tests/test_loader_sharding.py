@@ -156,6 +156,38 @@ def test_streaming_prefetch_overlaps_loading_with_compute():
     assert stall < 0.22, f"consumer stalled {stall:.0%} of the epoch ({total:.2f}s)"
 
 
+def test_abandoned_iteration_does_not_leak_producer_thread():
+    """A consumer that breaks mid-epoch must not leave the producer thread
+    blocked forever on the full prefetch queue (the bounded put honours the
+    stop event)."""
+    import threading
+    import time
+
+    class _Ds:
+        labels = np.zeros(64, np.int64)
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            v = np.zeros((1, 4, 4, 4), np.float32)
+            return v, v, 0
+
+    loader = Loader(_Ds(), batch_size=4, shuffle=False, num_workers=1, prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)  # producer now running and soon blocked on the size-1 queue
+    it.close()  # abandon the epoch (what a `break` does to the generator)
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread(s) leaked: {leaked}"
+
+
 def test_device_resident_refuses_multiprocess_without_global_mesh(monkeypatch):
     """Under jax.process_count() > 1 every host would stage and feed identical
     batches unless the store rides a process-spanning mesh — that combination

@@ -239,8 +239,9 @@ def measure_prefetch_overlap(load_ms: float = 20.0, compute_ms: float = 30.0,
 
     loader = Loader(_SlowDs(), batch_size, shuffle=False, drop_last=True,
                     num_workers=1, prefetch=2, seed=0)
-    for _ in device_prefetch(loader, size=2):  # warm the thread pool
-        break
+    # no warm-up pass: Loader spins up a fresh producer thread per epoch, so
+    # there is nothing to warm; pipeline fill (the first batch's load) is
+    # part of what the stall fraction honestly measures
     t0 = time.perf_counter()
     n = 0
     for _aug, _orig, _lab in device_prefetch(loader, size=2):
@@ -321,15 +322,28 @@ class Loader:
             labels = np.asarray([it[2] for it in items])
             return aug, orig, labels
 
+        def put(item) -> bool:
+            # bounded put that honours `stop`: a consumer that abandons the
+            # iterator (break / generator close) must not leave this thread
+            # blocked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch_idx in self._batches():
                     if stop.is_set():
                         return
-                    q.put(collate(batch_idx))
-                q.put(None)
+                    if not put(collate(batch_idx)):
+                        return
+                put(None)
             except BaseException as e:  # propagate to the consumer, never truncate
-                q.put(e)
+                put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

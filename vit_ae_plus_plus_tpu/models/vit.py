@@ -102,7 +102,8 @@ def _use_fused_ln(mode: str, dim: int, dtype, kind: str = "qkv") -> bool:
 
     MEASURED NEGATIVE RESULT (round 3, TPU v5e, flagship B16 bf16 step) —
     'auto' therefore never fuses; 'on' forces fusion everywhere (tests /
-    other hardware); 'off' never.
+    other hardware — NOT tensor-parallel-safe: the kernel holds the full W,
+    keep the default under a model-sharded mesh); 'off' never.
 
     Isolated per-instance timings (fwd / fwd+bwd ms): enc qkv 1.36/1.92
     fused vs 1.70/2.15 XLA (a real ~0.5 ms/layer win), dec qkv 2.56/1.88 vs
@@ -117,8 +118,10 @@ def _use_fused_ln(mode: str, dim: int, dtype, kind: str = "qkv") -> bool:
     Only the attention kernels (far larger ops) overcome the boundary."""
     if mode == "on":
         return True
-    if mode != "auto":
+    if mode == "off":
         return False
+    if mode != "auto":
+        raise ValueError(f"ln_fusion must be 'auto'|'on'|'off', got {mode!r}")
     return False  # 'auto': measured net-negative on TPU v5e — see above
 
 

@@ -89,11 +89,20 @@ def resolve_checkpoint_path(path_or_url: str, cache_dir: Optional[str] = None) -
         os.path.expanduser("~"), ".cache", "vit_ae_plus_plus_tpu", "checkpoints"
     )
     os.makedirs(cache_dir, exist_ok=True)
+    # key by a hash of the FULL URL (torch.hub-style): two URLs sharing a
+    # basename (fold_0/ckpt.pth vs fold_1/ckpt.pth) must not collide
+    import hashlib
+
     name = os.path.basename(urllib.parse.urlparse(path_or_url).path) or "checkpoint"
-    target = os.path.join(cache_dir, name)
+    digest = hashlib.sha256(path_or_url.encode()).hexdigest()[:12]
+    target = os.path.join(cache_dir, f"{digest}_{name}")
     if not os.path.exists(target):
         print(f"Downloading checkpoint {path_or_url} -> {target}")
-        urllib.request.urlretrieve(path_or_url, target)
+        # download to a temp name + atomic rename so an interrupted transfer
+        # can never be mistaken for a cached checkpoint
+        tmp = target + ".part"
+        urllib.request.urlretrieve(path_or_url, tmp)
+        os.replace(tmp, target)
     return target
 
 
