@@ -41,7 +41,8 @@ enable_compilation_cache()
 
 
 def make_step(dtype: str, batch: int, attn_impl: str,
-              model: str = "contr_mae_vit_base_patch16"):
+              model: str = "contr_mae_vit_base_patch16",
+              loss_filters_dtype: str = "float32"):
     from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
     from vit_ae_plus_plus_tpu.train import create_train_state, make_adamw, make_train_step
 
@@ -54,13 +55,16 @@ def make_step(dtype: str, batch: int, attn_impl: str,
     state = create_train_state(
         model, (v, v), tx, {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
     )
-    step = make_train_step(model, 8, mask_ratio=0.75, contr_weight=0.001, donate=True)
+    step = make_train_step(model, 8, mask_ratio=0.75, contr_weight=0.001, donate=True,
+                           loss_filters_dtype=loss_filters_dtype)
     return step, state, v
 
 
 def measure(dtype: str, batch: int, attn_impl: str, iters: int = 20,
-            model: str = "contr_mae_vit_base_patch16") -> float:
-    step, state, v = make_step(dtype, batch, attn_impl, model)
+            model: str = "contr_mae_vit_base_patch16",
+            loss_filters_dtype: str = "float32") -> float:
+    step, state, v = make_step(dtype, batch, attn_impl, model,
+                               loss_filters_dtype=loss_filters_dtype)
     rng = jax.random.PRNGKey(3)
     w = jnp.float32(0.01)
     # warmup + compile
@@ -227,6 +231,14 @@ def main():
         # MXU-floor-optimal split at identical parameter shapes
         fast = measure("bfloat16", tuned_batch, "auto",
                        model="contr_mae_vit_base_patch16_fast")
+        # opt-in bf16 edge-loss filters on top of the fast preset (the loss
+        # pipeline is a larger fraction of its shorter step)
+        fast_bf16f = measure("bfloat16", tuned_batch, "auto",
+                             model="contr_mae_vit_base_patch16_fast",
+                             loss_filters_dtype="bfloat16")
+        # and on the parity architecture (non-parity precision, opt-in)
+        tuned_bf16f = measure("bfloat16", tuned_batch, "auto",
+                              loss_filters_dtype="bfloat16")
         # the faithful leg minus the (gradient-free) VGG forward, isolating
         # how much of the reference's per-step cost is that one quirk
         faithful_novgg = measure_reference_faithful(run_vgg=False)
@@ -234,6 +246,8 @@ def main():
             "tuned_volumes_per_sec": round(tuned, 2),
             "fastdec_optin_volumes_per_sec": round(fastdec, 2),
             "fast_optin_volumes_per_sec": round(fast, 2),
+            "fast_optin_bf16_filters_volumes_per_sec": round(fast_bf16f, 2),
+            "tuned_bf16_filters_volumes_per_sec": round(tuned_bf16f, 2),
             "parity_f32_b4_volumes_per_sec": round(base, 2),
             "reference_faithful_volumes_per_sec": round(faithful, 2),
             "reference_faithful_novgg_volumes_per_sec": round(faithful_novgg, 2),

@@ -94,3 +94,50 @@ def test_volume_space_recon_equals_patch_space():
         # fp summation order differs between the two formulations
         np.testing.assert_allclose(float(metrics["reconstruction_loss"]),
                                    float(want), rtol=1e-5)
+
+
+def test_bf16_loss_filters_close_to_f32():
+    """Opt-in `filters_dtype='bfloat16'` must leave recon/contr terms
+    bit-identical (only the edge filters change dtype) and keep the edge term
+    within bf16 tolerance of the f32 parity path."""
+    import jax
+    from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
+
+    p, s, b = 4, 16, 2
+    g = s // p
+    L = g**3
+    key = jax.random.PRNGKey(1)
+    view1 = jax.random.normal(key, (b, 1, s, s, s))
+    pred = jax.random.normal(jax.random.fold_in(key, 1), (b, L, p**3))
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (b, L)) < 0.75)
+    mask = mask.astype(jnp.float32)
+    outs = {"pred": pred, "mask": mask}
+    _, m32 = mae_loss_terms(outs, view1, p, edge_map_weight=0.01)
+    _, m16 = mae_loss_terms(outs, view1, p, edge_map_weight=0.01,
+                            filters_dtype="bfloat16")
+    assert float(m32["reconstruction_loss"]) == float(m16["reconstruction_loss"])
+    np.testing.assert_allclose(float(m16["edge_map_loss"]),
+                               float(m32["edge_map_loss"]), rtol=2e-2)
+    assert m16["edge_map_loss"].dtype == jnp.float32
+
+
+def test_train_step_accepts_loss_filters_dtype():
+    """The flag plumbs through make_train_step and trains finitely."""
+    import jax
+    from vit_ae_plus_plus_tpu.configs import MAEConfig
+    from vit_ae_plus_plus_tpu.models import MaskedAutoencoderViT3D
+    from vit_ae_plus_plus_tpu.train import create_train_state, make_adamw, make_train_step
+
+    cfg = MAEConfig(volume_size=8, patch_size=4, in_chans=1, embed_dim=16,
+                    depth=1, num_heads=2, decoder_embed_dim=8, decoder_depth=1,
+                    decoder_num_heads=2, attn_impl="xla")
+    model = MaskedAutoencoderViT3D(cfg)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 8, 8, 8))
+    state = create_train_state(
+        model, (batch, None), make_adamw(1e-3),
+        {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)},
+    )
+    step = make_train_step(model, 4, mask_ratio=0.75, donate=False,
+                           loss_filters_dtype="bfloat16")
+    _, metrics = step(state, batch, None, jax.random.PRNGKey(3), jnp.float32(0.01))
+    assert np.isfinite(float(metrics["loss"]))

@@ -39,6 +39,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--use-z-score", action=argparse.BooleanOptionalAction,
                    default=True, help="--no-use-z-score selects min-max [-1,1]")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--loss-filters-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="opt-in bfloat16 runs the edge-loss Sobel/blur "
+                        "einsums in bf16 (non-parity precision)")
     p.add_argument("--model", default="contr_mae_vit_base_patch16")
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--n-devices", type=int, default=None)
@@ -75,6 +79,7 @@ def _configs(args) -> tuple:
             resume=getattr(args, "resume", False),
             profile_dir=getattr(args, "profile_dir", None),
             vgg_ckpt=getattr(args, "vgg_ckpt", None),
+            loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
         )
         return data_cfg, train_cfg
     data_cfg = DataConfig(
@@ -92,6 +97,7 @@ def _configs(args) -> tuple:
         profile_dir=getattr(args, "profile_dir", None),
         perceptual_weight=getattr(args, "perceptual_weight", 0.0),
         vgg_ckpt=getattr(args, "vgg_ckpt", None),
+        loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
     )
     return data_cfg, train_cfg
 

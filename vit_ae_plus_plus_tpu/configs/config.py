@@ -132,6 +132,9 @@ class TrainConfig:
     norm_pix_loss: bool = False
     # tpu execution
     compute_dtype: str = "float32"  # "bfloat16" for max throughput
+    loss_filters_dtype: str = "float32"  # opt-in "bfloat16": run the edge-loss
+    # Sobel/blur banded einsums in bf16 (non-parity precision; the parity
+    # default keeps the whole loss pipeline f32 like the reference)
     device_augment: bool = False  # run affine/noise/gamma on-device (ops/augment.py)
     device_data: bool = False  # stage the whole raw fold in HBM (zero per-step
     # H2D; requires device_augment and a dataset that fits — data/loader.py

@@ -147,6 +147,7 @@ def pretrain_one_fold(
         perceptual_weight=train_cfg.perceptual_weight,
         norm_pix_loss=train_cfg.norm_pix_loss,
         perceptual_fn=perceptual_fn,
+        loss_filters_dtype=train_cfg.loss_filters_dtype,
         mesh=mesh,
         donate=train_cfg.donate_state,
     )

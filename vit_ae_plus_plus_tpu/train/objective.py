@@ -50,6 +50,7 @@ def mae_loss_terms(
     norm_pix_loss: bool = False,
     perceptual_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     perceptual_differentiable: bool = False,
+    filters_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Model outputs + input -> (total_loss, metrics dict)."""
     pred, mask = outputs["pred"], outputs["mask"]
@@ -84,8 +85,14 @@ def mae_loss_terms(
             jnp.sum(mask.astype(jnp.float32)) * patch_size**3 * pred_vol.shape[1]
         )
 
-    pred_edges = sobel_edges_3d(pred_vol)
-    target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol, 2.0))
+    # Opt-in bf16 edge-loss filters: the Sobel/blur banded einsums run at the
+    # MXU's bf16 rate and halve their HBM traffic. Off by default — the parity
+    # contract keeps the loss pipeline f32 like the reference; the edge term is
+    # an auxiliary regulariser (weight <= 0.01) so bf16 filter precision is
+    # ample (equivalence bounded in tests/test_ops_losses.py).
+    fdt = jnp.bfloat16 if filters_dtype == "bfloat16" else jnp.float32
+    pred_edges = sobel_edges_3d(pred_vol.astype(fdt))
+    target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol.astype(fdt), 2.0))
     raw_edge = edge_map_loss(pred_edges, target_edges)
     edge_loss = edge_map_weight * raw_edge
 

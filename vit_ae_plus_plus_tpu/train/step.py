@@ -36,6 +36,7 @@ def make_train_step(
     perceptual_weight: float = 0.0,
     norm_pix_loss: bool = False,
     perceptual_fn=None,
+    loss_filters_dtype: str = "float32",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ) -> Callable:
@@ -87,6 +88,7 @@ def make_train_step(
                 perceptual_weight=perceptual_weight,
                 norm_pix_loss=norm_pix_loss,
                 perceptual_fn=perceptual_fn,
+                filters_dtype=loss_filters_dtype,
             )
             return total, (metrics, mutated.get("batch_stats", state.batch_stats))
 
