@@ -59,17 +59,27 @@ def multihead_attention(
         from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
         return flash_attention(q, k, v, scale, interpret=interpret)
-    if impl == "flash_seq":
+    if impl in ("flash_seq", "flash_ring"):
         # SEQUENCE-parallel: the token axis shards over the ambient mesh's
         # 'model' axis (long-context volumes past one chip, SURVEY §5.7).
         # Requires running under `jax.set_mesh(mesh)`; batch rides 'data'.
-        from vit_ae_plus_plus_tpu.kernels.seq_flash import seq_sharded_flash_attention
-
+        # 'flash_seq' replicates K/V per shard (seq_flash.py — simplest, fine
+        # while N x D stays small); 'flash_ring' shards K/V too and rotates
+        # blocks over the ring (ring_flash.py — O(N/P) HBM per shard, the
+        # path for volumes whose replicated K/V would no longer fit).
         mesh = jax.sharding.get_abstract_mesh()
         if mesh.shape.get("model", 1) == 1:
             from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
             return flash_attention(q, k, v, scale, interpret=interpret)
+        if impl == "flash_ring":
+            from vit_ae_plus_plus_tpu.kernels.ring_flash import ring_flash_attention
+
+            return ring_flash_attention(
+                q, k, v, mesh, scale=scale, interpret=interpret
+            )
+        from vit_ae_plus_plus_tpu.kernels.seq_flash import seq_sharded_flash_attention
+
         return seq_sharded_flash_attention(
             q, k, v, mesh, scale=scale, interpret=interpret
         )
