@@ -148,15 +148,36 @@ def test_flash_long_context_multiblock_path():
     want = _xla_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
-    def loss_flash(q):
+    def loss_flash(q, k, v):
         return jnp.sum(jnp.sin(flash_attention(q, k, v, scale, None, None, True)))
 
-    def loss_xla(q):
+    def loss_xla(q, k, v):
         return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
 
-    gf = jax.grad(loss_flash)(q)
-    gx = jax.grad(loss_xla)(q)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=5e-4, atol=5e-5)
+    # all three grads, with the q-chunked dK/dV accumulation FORCED (the
+    # 4 MB production budget only chunks past ~8k bf16 tokens; shrinking it
+    # makes 2744 tokens -> pq 2816 -> two q-chunks)
+    import vit_ae_plus_plus_tpu.kernels.pallas_flash as pf
+
+    budget = pf._DKV_RESIDENT_BUDGET
+    pf._DKV_RESIDENT_BUDGET = 1024 * 1024
+    try:
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        pf._DKV_RESIDENT_BUDGET = budget
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for got_g, want_g, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch on the chunked multi-block path",
+        )
+    # and the default (single-chunk) path
+    gf1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for got_g, want_g, name in zip(gf1, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch on the resident multi-block path",
+        )
 
 
 @pytest.mark.parametrize("nq,nkv,d", [(200, 433, 64), (433, 96, 32), (700, 2744, 64)])

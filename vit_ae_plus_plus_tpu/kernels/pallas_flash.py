@@ -50,6 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
+# resident q+do bytes above which the dK/dV kernel chunks its query axis
+# (see _dkv_kernel); tests lower it to force the chunked path at small shapes
+_DKV_RESIDENT_BUDGET = 4 * 1024 * 1024
+
 
 def _default_blocks(n_kv: int, block_q, block_k, dtype):
     """Resolve None block sizes; must be used identically in fwd and bwd.
@@ -177,47 +181,67 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, block_q, q_len, chunk,
 ):
-    """dK, dV for one (b, h, k_block): loop over query blocks."""
+    """dK, dV for one (b, h, k_block, q_chunk): loop over the chunk's query
+    blocks, accumulating into f32 scratch that persists across the q-chunk
+    grid dim (innermost, so the dk/dv output blocks are revisited
+    consecutively and written once on the final chunk).
+
+    The chunking exists for LONG sequences: holding the full padded q/do
+    resident per program overflows scoped VMEM at 13,825 tokens x d=32 (the
+    lane dim tile-pads 4x, so q alone is 3.6 MB — measured 16.7 MB > 16 MB
+    at 192^3/p8, which forced remat_blocks on). A ~2048-row chunk caps
+    residency at any N; q/do are re-read once per k-block, ~1 ms of extra
+    HBM traffic at the 192^3 shape. Query-padding rows (q >= q_len) are
+    masked unconditionally — with a traced chunk offset the ragged block is
+    no longer statically identifiable."""
     k = k_ref[:].astype(jnp.float32)  # (BK, D)
     v = v_ref[:].astype(jnp.float32)
     nq = q_ref.shape[0] // block_q
+    ic = pl.program_id(3)
 
-    def body(iq, carry, ragged):
-        dk, dv = carry
+    @pl.when(ic == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    chunk_start = ic * chunk
+
+    def body(iq, _):
         q = q_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(iq * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[:, pl.ds(iq * block_q, block_q)].T  # (1, PQ)-stored
+        lse = lse_ref[:, pl.ds(iq * block_q, block_q)].T  # (1, CHUNK)-stored
         delta = delta_ref[:, pl.ds(iq * block_q, block_q)].T
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
         p = jnp.exp(s - lse)
-        if ragged:
-            # final q block: padded query rows contribute nothing
-            q_idx = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            p = jnp.where(q_idx < q_len, p, 0.0)
+        # padded query rows contribute nothing (their lse/delta pad is zeros,
+        # so p == e^s is finite garbage until this select kills it)
+        q_idx = chunk_start + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        p = jnp.where(q_idx < q_len, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
-        dv = dv + jax.lax.dot_general(
+        dv_acc[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dk = dk + jax.lax.dot_general(
+        dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return dk, dv
+        return 0
 
-    init = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
-    ragged_tail = (nq * block_q) > q_len
-    dk, dv = jax.lax.fori_loop(
-        0, nq - 1, lambda iq, c: body(iq, c, False), init
-    )
-    dk, dv = body(nq - 1, (dk, dv), ragged_tail)
-    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+    jax.lax.fori_loop(0, nq, body, 0)
+
+    @pl.when(ic == pl.num_programs(3) - 1)
+    def _emit():
+        dk_ref[:] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel(
@@ -602,27 +626,52 @@ def _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret):
         interpret=interpret,
     )(qp, kp, vp, dop, lse, delta)
 
+    # q-chunking caps per-program VMEM at any sequence length (see
+    # _dkv_kernel): ~2048-row chunks, re-padded so chunks divide evenly.
+    # Only engage past a resident-size threshold — the q/do blocks tile-pad
+    # their lane dim to 128, so the estimate uses max(d, 128); below it the
+    # whole q stays resident (one chunk) and the kernel matches the historic
+    # zero-overhead behaviour (measured fine at 128^3/d64; the 16 MB scoped
+    # ceiling was only hit at 192^3/d32, q+do 7.2 MB resident).
+    itemsize = 2 if q.dtype == jnp.bfloat16 else 4
+    resident = 2 * pq * max(d, 128) * itemsize  # q + do
+    nq_chunks = pl.cdiv(pq, 2048) if resident > _DKV_RESIDENT_BUDGET else 1
+    chunk = _pad_len(-(-pq // nq_chunks), block_q)
+    pq2 = chunk * nq_chunks
+    if pq2 > pq:
+        qp, dop = _pad_seq(qp, pq2), _pad_seq(dop, pq2)
+        lane_pad = ((0, 0), (0, 0), (0, 0), (0, pq2 - pq))
+        lse_p, delta_p = jnp.pad(lse, lane_pad), jnp.pad(delta, lane_pad)
+    else:
+        lse_p, delta_p = lse, delta
+
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=block_q, q_len=n_q),
-        grid=(b, h, pk // block_k),
+        functools.partial(
+            _dkv_kernel, scale=scale, block_q=block_q, q_len=n_q, chunk=chunk
+        ),
+        grid=(b, h, pk // block_k, nq_chunks),
         in_specs=[
-            pl.BlockSpec((None, None, pq, d), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, pq, d), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, 1, pq), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((None, None, 1, pq), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, chunk, d), lambda b, h, i, c: (b, h, c, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i, c: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i, c: (b, h, i, 0)),
+            pl.BlockSpec((None, None, chunk, d), lambda b, h, i, c: (b, h, c, 0)),
+            pl.BlockSpec((None, None, 1, chunk), lambda b, h, i, c: (b, h, 0, c)),
+            pl.BlockSpec((None, None, 1, chunk), lambda b, h, i, c: (b, h, 0, c)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i, c: (b, h, i, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b, h, i, c: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, pk, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, pk, d), v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, delta)
+    )(qp, kp, vp, dop, lse_p, delta_p)
 
     return dq[:, :, :n_q], dk[:, :, :n_kv], dv[:, :, :n_kv]
 
