@@ -1,0 +1,167 @@
+"""Compiled-HLO collective audit: instruction-level proof of the sharding
+claims (SURVEY.md §2.6) on the virtual 8-device mesh.
+
+Running a sharded step and checking the loss proves correctness, not
+placement — GSPMD will happily insert a full-tensor all-gather and still
+return the right numbers (exactly the failure mode the round-2 advisor
+flagged for attn_impl='auto' under a model axis). These tests compile the
+real train step and audit the collectives XLA's SPMD partitioner actually
+emitted:
+
+- pure data parallel must reduce gradients and gather NOTHING — every
+  all-reduce is at most parameter-shaped, and the only other collectives are
+  the partitioner's tiny RNG/sort reshuffles for the (B, L) mask lottery,
+  each strictly smaller than a parameter tensor;
+- tensor parallel must never materialise the full (B, N, 3C) qkv activation
+  (the packed-kernel hazard) nor gather a sharded weight to full size;
+- the ring-attention trunk must actually ride `collective-permute` (the ring)
+  and the replicated-K/V sequence-parallel kernel must not.
+"""
+
+import re
+from collections import Counter
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.configs import MAEConfig, ViTConfig
+from vit_ae_plus_plus_tpu.models import MaskedAutoencoderViT3D
+from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D
+from vit_ae_plus_plus_tpu.parallel import make_mesh, replicate, shard_batch
+from vit_ae_plus_plus_tpu.parallel.tp import shard_train_state
+from vit_ae_plus_plus_tpu.train import create_train_state, make_adamw, make_train_step
+
+_OP = re.compile(
+    r"= (.*?) (all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\("
+)
+_SHAPE = re.compile(r"(?:pred|bf16|f16|f32|f64|s8|s32|u8|u32|u64)\[([\d,]*)\]")
+
+
+def collectives(hlo_text):
+    """[(kind, max_elems, output_shapes)] per collective in post-SPMD HLO.
+
+    The captured text is the instruction's OUTPUT type(s) — for all-gather
+    that is the gathered (full) tensor."""
+    out = []
+    for line in hlo_text.splitlines():
+        m = _OP.search(line)
+        if not m:
+            continue
+        shapes = [
+            tuple(int(d) for d in dims.split(",") if d)
+            for dims in _SHAPE.findall(m.group(1))
+        ]
+        elems = [int(np.prod(s)) if s else 1 for s in shapes]
+        out.append((m.group(2), max(elems) if elems else 1, shapes))
+    return out
+
+
+def _tiny_cfg(attn_impl):
+    return MAEConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=24, depth=2,
+        num_heads=2, decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2,
+        contrastive=True, attn_impl=attn_impl,
+    )
+
+
+def _lowered_step_hlo(attn_impl, mesh, tp):
+    model = MaskedAutoencoderViT3D(_tiny_cfg(attn_impl))
+    batch = jax.random.normal(jax.random.PRNGKey(0), (16, 1, 16, 16, 16))
+    state = create_train_state(
+        model, (batch, batch), make_adamw(1e-3),
+        {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)},
+    )
+    step = make_train_step(
+        model, 4, mask_ratio=0.75, contr_weight=0.001, mesh=mesh, donate=False
+    )
+    state = shard_train_state(state, mesh) if tp else replicate(state, mesh)
+    v = shard_batch(batch, mesh)
+    text = step.lower(
+        state, v, v, jax.random.PRNGKey(3), jnp.float32(0.01)
+    ).compile().as_text()
+    param_shapes = {tuple(p.shape) for p in jax.tree.leaves(state.params)}
+    return text, param_shapes
+
+
+def test_data_parallel_reduces_grads_and_gathers_nothing():
+    mesh = make_mesh(data=8, model=1)
+    text, param_shapes = _lowered_step_hlo("xla", mesh, tp=False)
+    cols = collectives(text)
+    kinds = Counter(k for k, _, _ in cols)
+    max_param = max(int(np.prod(s)) for s in param_shapes)
+
+    assert kinds["all-reduce"] >= 1, "gradient all-reduce missing from DP step"
+    # nothing is replicated mid-step: a single all-gather would mean the
+    # partitioner decided to materialise some tensor on every device
+    assert kinds["all-gather"] == 0, f"unexpected all-gather in pure DP: {cols}"
+    for kind, elems, _shapes in cols:
+        # grad/metric all-reduces are at most parameter-shaped; the RNG/sort
+        # reshuffles for the (B, L) masking lottery are smaller still — any
+        # collective bigger than the largest parameter would be moving
+        # activations, i.e. the batch sharding leaked
+        assert elems <= max_param, (
+            f"{kind} moves {elems} elems > largest param {max_param}: {cols}"
+        )
+
+
+def test_tensor_parallel_never_materialises_full_qkv():
+    mesh = make_mesh(data=4, model=2)
+    text, param_shapes = _lowered_step_hlo("flash", mesh, tp=True)
+    cols = collectives(text)
+    kinds = Counter(k for k, _, _ in cols)
+
+    assert kinds["all-reduce"] >= 1, "TP row-parallel/grad all-reduce missing"
+    # the packed-kernel hazard (ADVICE r2): a replicated-lane attention under
+    # a model axis silently gathers the FULL (B, N, 3C) qkv every layer. The
+    # self-sharding flash kernel must keep every gather strictly below that
+    # (the half-qkv resharding gather into the kernel's (B, H) layout is fine).
+    B, N_enc, C = 16, 1 + 16, 24  # 4^3 patches, 75% masked, +cls
+    full_qkv = B * N_enc * 3 * C
+    for kind, elems, _shapes in cols:
+        if kind == "all-gather":
+            assert elems < full_qkv, (
+                f"all-gather of {elems} elems >= full qkv activation "
+                f"{full_qkv} — tensor parallelism is gathering, not sharding"
+            )
+    # sharded parameters are updated locally: no all-gather OUTPUT may be a
+    # full parameter tensor (that would mean TP re-materialises the weight)
+    for kind, _elems, shapes in cols:
+        if kind == "all-gather":
+            hit = [s for s in shapes if s in param_shapes and len(s) >= 2]
+            assert not hit, f"all-gather reconstructs full weight(s) {hit}"
+
+
+def _trunk_fwd_hlo(attn_impl, mesh):
+    cfg = ViTConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=32, depth=1,
+        num_heads=2, num_classes=0, global_pool=True, attn_impl=attn_impl,
+    )
+    model = VisionTransformer3D(cfg)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (4, 1, 16, 16, 16))
+    params = model.init({"params": jax.random.PRNGKey(6)}, xs)["params"]
+    with jax.set_mesh(mesh):
+        fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        return fn.lower(params, xs).compile().as_text()
+
+
+def test_ring_attention_rotates_and_never_gathers():
+    mesh = make_mesh(data=1, model=4)
+    ring = collectives(_trunk_fwd_hlo("flash_ring", mesh))
+    ring_kinds = Counter(k for k, _, _ in ring)
+    assert ring_kinds["collective-permute"] >= 1, (
+        "flash_ring forward emitted no collective-permute — the K/V ring "
+        "rotation (lax.ppermute) is not in the compiled program"
+    )
+    # the point of the ring is O(N/P) memory: K/V blocks ROTATE, nothing is
+    # ever replicated — a single all-gather would void that claim
+    assert ring_kinds["all-gather"] == 0, f"flash_ring gathered: {ring}"
+
+    # the replicated-K/V kernel is the opposite trade: it MUST gather the
+    # full (B, N, C) K and V once per layer (B=4, N=1+64 pre-padding, C=32)
+    seq = collectives(_trunk_fwd_hlo("flash_seq", mesh))
+    full_kv = 4 * 65 * 32
+    assert any(k == "all-gather" and e >= full_kv for k, e, _ in seq), (
+        f"flash_seq shows no full-K/V all-gather (expected >= {full_kv}): {seq}"
+    )
