@@ -59,6 +59,13 @@ def multihead_attention(
         from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention
 
         return flash_attention(q, k, v, scale, interpret=interpret)
+    if impl == "flash_local":
+        # same kernels, no custom_partitioning wrapper: for callers already
+        # inside a manual shard_map axis (e.g. the GPipe pipeline,
+        # parallel/pp.py) where partitioned ops are not allowed
+        from vit_ae_plus_plus_tpu.kernels.pallas_flash import flash_attention_local
+
+        return flash_attention_local(q, k, v, scale, interpret=interpret)
     if impl in ("flash_seq", "flash_ring"):
         # SEQUENCE-parallel: the token axis shards over the ambient mesh's
         # 'model' axis (long-context volumes past one chip, SURVEY §5.7).

@@ -797,3 +797,42 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, do):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Local (non-self-sharding) entry: the SAME kernels without the
+# custom_partitioning wrapper. custom_partitioning ops are not legal inside
+# manual shard_map axes, so per-stage callers — the GPipe pipeline
+# (parallel/pp.py) runs attention inside a shard_map over 'pipe' — use this
+# variant; each shard computes its local (B, H, N, D) block independently.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool = False,
+):
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_local_fwd(q, k, v, scale, block_q, block_k, interpret):
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    out, (lse, o_padded) = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, o_padded, lse)
+
+
+def _flash_local_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, o_padded, lse = res
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    return _bwd(q, k, v, o_padded, lse, do, scale, block_q, block_k, interpret)
+
+
+flash_attention_local.defvjp(_flash_local_fwd, _flash_local_bwd)

@@ -1,3 +1,17 @@
 from vit_ae_plus_plus_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from vit_ae_plus_plus_tpu.parallel.pp import (
+    make_pipeline_mesh,
+    pipeline_blocks,
+    pipelined_forward_features,
+    stack_block_params,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_pipeline_mesh",
+    "pipeline_blocks",
+    "pipelined_forward_features",
+    "stack_block_params",
+]

@@ -1,0 +1,227 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining of the ViT trunk
+over a 'pipe' mesh axis.
+
+The reference has no pipeline parallelism (SURVEY.md §2.6 — its largest model
+fits one GPU); this is a beyond-reference capability for trunks whose weights
+or activations outgrow one chip (ViT-Large+ at 192^3-class volumes combines
+with 'flash_ring' sequence sharding for the N^2 side).
+
+TPU-native design — no schedulers, no send/recv threads, no per-stage
+processes (the GPU way). The whole pipeline is ONE jitted SPMD program:
+
+- the L transformer blocks' parameters are stacked to (L, ...) leaves and
+  resharded to (S, L/S, ...) over the mesh's 'pipe' axis — each device holds
+  only its stage's weights (the point of PP: weight memory scales 1/S);
+- a `jax.shard_map` manual ONLY over 'pipe' (`axis_names={'pipe'}`) runs the
+  classic GPipe schedule as a `lax.scan` over M + S - 1 ticks: every tick,
+  each stage applies its L/S blocks (an inner scan over stacked layer
+  params) to its current microbatch and hands the activation to the next
+  stage via `lax.ppermute` — the ICI neighbour exchange. The batch axis
+  stays AUTOMATIC, so the same program composes with data parallelism and
+  GSPMD still inserts the gradient all-reduces over 'data'.
+- the backward pass is jax.grad of the same program: ppermute transposes to
+  the reverse rotation, so the cool-down phase of the backward pipeline
+  falls out of AD — nothing is hand-scheduled.
+
+Bubble fraction is the textbook (S-1)/(M+S-1); pick n_microbatches >= ~4*S
+to amortise. The finished microbatches accumulate on the last stage and are
+rebroadcast with one masked psum — O(B*N*C) ICI traffic once per trunk, the
+correctness-first epilogue (a production variant would leave the features
+sharded for a sharded head).
+
+Attention inside the pipeline body must be a LOCAL op (custom_partitioning
+is not allowed under manual shard_map axes), so `make_block_apply` routes
+self-sharding impls to `flash_local` (the same Pallas kernel minus the
+partitioning wrapper) on TPU and 'xla' elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_pipeline_mesh(
+    pipe: int, data: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """('data', 'pipe') mesh; adjacent pipe stages land on adjacent devices
+    so the ppermute hops ride nearest-neighbour ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data * pipe != len(devices):
+        raise ValueError(f"mesh {data}x{pipe} != {len(devices)} devices")
+    return Mesh(np.array(devices).reshape(data, pipe), ("data", "pipe"))
+
+
+def stack_block_params(params, depth: int, prefix: str = "blocks_"):
+    """Per-layer param subtrees params[f'{prefix}{i}'] -> one tree with
+    (depth, ...) leaves (differentiable: jnp.stack)."""
+    layers = [params[f"{prefix}{i}"] for i in range(depth)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_block_params(stacked, depth: int, prefix: str = "blocks_"):
+    """Inverse of stack_block_params (for grads/updates round-trips)."""
+    return {
+        f"{prefix}{i}": jax.tree.map(lambda a, i=i: a[i], stacked)
+        for i in range(depth)
+    }
+
+
+def make_block_apply(cfg, deterministic: bool = True):
+    """One-transformer-block apply(layer_params, x) built from the model's
+    own Block module, with the attention impl forced to a shard_map-safe
+    LOCAL op (see module docstring)."""
+    from vit_ae_plus_plus_tpu.models.vit import Block, _dt
+
+    impl = cfg.attn_impl
+    if impl not in ("xla", "flash_local"):
+        # 'auto'/'flash'/'flash_packed'/'flash_seq'/'flash_ring' all resolve
+        # to custom_partitioning or mesh-wide kernels — not legal per-stage
+        impl = "flash_local" if jax.default_backend() == "tpu" else "xla"
+    blk = Block(
+        cfg.num_heads,
+        cfg.mlp_ratio,
+        attn_impl=impl,
+        dtype=_dt(cfg.dtype),
+        ln_fusion=getattr(cfg, "ln_fusion", "auto"),
+    )
+    return lambda layer_params, x: blk.apply({"params": layer_params}, x, deterministic)
+
+
+def pipeline_blocks(
+    block_apply,
+    stacked_params,
+    x: jnp.ndarray,
+    mesh: Optional[Mesh],
+    *,
+    n_microbatches: int,
+    axis: str = "pipe",
+):
+    """Apply `depth` stacked transformer blocks to x (B, N, C), pipelined
+    over mesh[axis] stages with GPipe microbatching. Exact: returns the same
+    values (and grads, via AD) as the sequential loop."""
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    if mesh is None or mesh.shape.get(axis, 1) == 1:
+        y, _ = jax.lax.scan(
+            lambda c, lp: (block_apply(lp, c), None), x, stacked_params
+        )
+        return y
+
+    S = mesh.shape[axis]
+    M = n_microbatches
+    B = x.shape[0]
+    if depth % S:
+        raise ValueError(f"depth {depth} not divisible by {S} pipeline stages")
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    mb = B // M
+    per_stage = depth // S
+    stage_params = jax.tree.map(
+        lambda a: a.reshape(S, per_stage, *a.shape[1:]), stacked_params
+    )
+
+    def body(sp, xs):
+        idx = jax.lax.axis_index(axis)
+        n_stage = jax.lax.axis_size(axis)
+        sp = jax.tree.map(lambda a: jnp.squeeze(a, 0), sp)  # (L/S, ...)
+        mbs = xs.reshape(M, mb, *xs.shape[1:])
+
+        def stage(xi):  # this stage's L/S blocks, scanned over layer params
+            y, _ = jax.lax.scan(lambda c, lp: (block_apply(lp, c), None), xi, sp)
+            return y
+
+        def tick(carry, t):
+            act, out = carry
+            # stage 0 ingests microbatch t (clamped past the end: the warm-up
+            # garbage it produces never reaches the last stage inside the
+            # T = M + S - 1 tick budget, so it is never stored)
+            ingest = jax.lax.dynamic_index_in_dim(
+                mbs, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            )
+            y = stage(jnp.where(idx == 0, ingest, act))
+            # the last stage finishes microbatch j at tick t = j + (S - 1)
+            j = t - (n_stage - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                out, y, jnp.clip(j, 0, M - 1), 0
+            )
+            out = jnp.where(j >= 0, upd, out)
+            y = jax.lax.ppermute(
+                y, axis, [(i, (i + 1) % n_stage) for i in range(n_stage)]
+            )
+            return (y, out), None
+
+        # the carry becomes device-varying over 'pipe' inside the loop (the
+        # ppermute + per-stage writes), so the zero init must be cast varying
+        carry0 = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+            (jnp.zeros_like(mbs[0]), jnp.zeros_like(mbs)),
+        )
+        (_, out), _ = jax.lax.scan(tick, carry0, jnp.arange(M + S - 1))
+        # finished microbatches live on the last stage; masked psum
+        # rebroadcasts them to every stage (see module docstring)
+        out = jax.lax.psum(
+            jnp.where(idx == n_stage - 1, out, jnp.zeros_like(out)), axis
+        )
+        return out.reshape(B, *xs.shape[1:])
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), stage_params), P()),
+        out_specs=P(),
+        axis_names=frozenset({axis}),
+    )
+    return fn(stage_params, x)
+
+
+def pipelined_forward_features(
+    model,
+    variables,
+    x: jnp.ndarray,
+    mesh: Optional[Mesh],
+    *,
+    n_microbatches: int,
+    axis: str = "pipe",
+    train: bool = False,
+):
+    """VisionTransformer3D.forward_features with the block stack pipelined.
+
+    Drop-in: takes the model's standard `variables` tree (per-layer
+    blocks_{i} params — checkpoints load unchanged) and returns the same
+    features as `model.apply(..., method=model.forward_features)`; only the
+    block loop runs as a pipeline. Patch embed / cls / pos-embed and the
+    final norm+pool replicate the trunk exactly (parity-pinned by
+    tests/test_pipeline_parallel.py against the sequential model)."""
+    import flax.linen as nn
+
+    from vit_ae_plus_plus_tpu.models.vit import PatchEmbed3D, _dt
+
+    c = model.cfg
+    p = variables["params"]
+    dtype = _dt(c.dtype)
+    x = PatchEmbed3D(c.patch_size, c.embed_dim, dtype=dtype).apply(
+        {"params": p["patch_embed"]}, x
+    )
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(x.dtype)
+    stacked = stack_block_params(p, c.depth)
+    x = pipeline_blocks(
+        make_block_apply(c, deterministic=not train),
+        stacked,
+        x,
+        mesh,
+        n_microbatches=n_microbatches,
+        axis=axis,
+    )
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
+    if c.global_pool:
+        pooled = jnp.mean(x[:, 1:, :], axis=1)
+        return ln.apply({"params": p["fc_norm"]}, pooled)
+    x = ln.apply({"params": p["norm"]}, x)
+    return x[:, 0]
