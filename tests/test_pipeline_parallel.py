@@ -113,6 +113,136 @@ def test_pipeline_validates_divisibility():
         pipeline_blocks(apply, stacked3, h, mesh, n_microbatches=2)
 
 
+def _mae(contrastive=False, depth=2, decoder_depth=2):
+    from vit_ae_plus_plus_tpu.configs import MAEConfig
+    from vit_ae_plus_plus_tpu.models.mae import MaskedAutoencoderViT3D
+
+    cfg = MAEConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=32, depth=depth,
+        num_heads=2, decoder_embed_dim=24, decoder_depth=decoder_depth,
+        decoder_num_heads=4, contrastive=contrastive, attn_impl="xla",
+    )
+    model = MaskedAutoencoderViT3D(cfg)
+    v1 = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 16, 16, 16))
+    v2 = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 16, 16, 16))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "mask": jax.random.PRNGKey(3)},
+        v1, v2 if contrastive else None,
+    )
+    return cfg, model, variables, v1, v2
+
+
+def test_pipelined_mae_matches_sequential():
+    """Both MAE block stacks pipelined: pred/mask/latent must equal the
+    sequential model under the same mask noise."""
+    from vit_ae_plus_plus_tpu.parallel.pp import pipelined_mae_forward
+
+    cfg, model, variables, v1, _ = _mae()
+    noise = jax.random.uniform(jax.random.PRNGKey(7), (4, cfg.num_patches))
+    mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
+    want = model.apply(variables, v1, None, mask_ratio=0.75, noise=noise)
+    got, bs = jax.jit(
+        lambda v, x, n: pipelined_mae_forward(
+            model, v, x, mesh=mesh, n_microbatches=2, noise=n
+        )
+    )(variables, v1, noise)
+    assert bs is None
+    for key in ("pred", "mask", "ids_restore", "latent"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), atol=1e-5, err_msg=key
+        )
+
+
+def test_pipelined_mae_contrastive_matches():
+    """Contrastive branch: 2B-batched encoder pipeline, predictor heads with
+    train-mode BatchNorm — outputs AND mutated batch_stats must match."""
+    from vit_ae_plus_plus_tpu.parallel.pp import pipelined_mae_forward
+
+    cfg, model, variables, v1, v2 = _mae(contrastive=True)
+    noise = jax.random.uniform(jax.random.PRNGKey(7), (8, cfg.num_patches))
+    mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
+    want, want_mut = model.apply(
+        variables, v1, v2, mask_ratio=0.75, noise=noise, train=True,
+        mutable=["batch_stats"],
+    )
+    got, got_bs = pipelined_mae_forward(
+        model, variables, v1, v2, mesh=mesh, n_microbatches=2, noise=noise,
+        train=True,
+    )
+    for key in ("pred", "p1", "p2", "z1", "z2", "latent"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), atol=2e-5, err_msg=key
+        )
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_bs),
+        jax.tree_util.tree_leaves_with_path(want_mut["batch_stats"]),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pipelined_mae_grads_match():
+    from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
+    from vit_ae_plus_plus_tpu.parallel.pp import pipelined_mae_forward
+
+    cfg, model, variables, v1, _ = _mae()
+    noise = jax.random.uniform(jax.random.PRNGKey(7), (4, cfg.num_patches))
+    mesh = make_pipeline_mesh(2, data=1, devices=jax.devices()[:2])
+
+    def loss_seq(params):
+        out = model.apply({"params": params}, v1, None, mask_ratio=0.75, noise=noise)
+        return mae_loss_terms(out, v1, cfg.patch_size)[0]
+
+    def loss_pp(params):
+        out, _ = pipelined_mae_forward(
+            model, {"params": params}, v1, mesh=mesh, n_microbatches=2, noise=noise
+        )
+        return mae_loss_terms(out, v1, cfg.patch_size)[0]
+
+    g_seq = jax.grad(loss_seq)(variables["params"])
+    g_pp = jax.grad(loss_pp)(variables["params"])
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_seq),
+        jax.tree_util.tree_leaves_with_path(g_pp),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
+
+
+def test_pp_train_step_trains():
+    """make_pp_train_step: contract-identical to make_train_step; loss drops
+    over a few steps on the (data=2, pipe=2) virtual mesh."""
+    import optax
+
+    from vit_ae_plus_plus_tpu.parallel.pp import make_pp_train_step
+    from vit_ae_plus_plus_tpu.train.state import TrainState
+
+    cfg, model, variables, v1, v2 = _mae(contrastive=True)
+    mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
+    tx = optax.adamw(1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    step = make_pp_train_step(
+        model, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
+        donate=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, v1, v2, rng, jnp.float32(0.0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_flash_local_matches_naive():
     """The shard_map-safe kernel entry (no custom_partitioning wrapper) is
     numerically the same attention."""

@@ -72,10 +72,11 @@ def unstack_block_params(stacked, depth: int, prefix: str = "blocks_"):
     }
 
 
-def make_block_apply(cfg, deterministic: bool = True):
+def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] = None):
     """One-transformer-block apply(layer_params, x) built from the model's
     own Block module, with the attention impl forced to a shard_map-safe
-    LOCAL op (see module docstring)."""
+    LOCAL op (see module docstring). `num_heads` overrides cfg.num_heads
+    (the MAE decoder stack runs a different head count)."""
     from vit_ae_plus_plus_tpu.models.vit import Block, _dt
 
     impl = cfg.attn_impl
@@ -84,7 +85,7 @@ def make_block_apply(cfg, deterministic: bool = True):
         # to custom_partitioning or mesh-wide kernels — not legal per-stage
         impl = "flash_local" if jax.default_backend() == "tpu" else "xla"
     blk = Block(
-        cfg.num_heads,
+        num_heads if num_heads is not None else cfg.num_heads,
         cfg.mlp_ratio,
         attn_impl=impl,
         dtype=_dt(cfg.dtype),
@@ -225,3 +226,217 @@ def pipelined_forward_features(
         return ln.apply({"params": p["fc_norm"]}, pooled)
     x = ln.apply({"params": p["norm"]}, x)
     return x[:, 0]
+
+
+def pipelined_mae_forward(
+    model,
+    variables,
+    view1: jnp.ndarray,
+    view2: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Optional[Mesh],
+    n_microbatches: int,
+    mask_ratio: float = 0.75,
+    noise: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+    axis: str = "pipe",
+):
+    """MaskedAutoencoderViT3D forward with BOTH block stacks (encoder depth D,
+    decoder depth D') pipelined over mesh[axis].
+
+    Drop-in vs `model.apply` (models/mae.py __call__, incl. the contrastive
+    2B-batched-views branch): takes the standard `variables` tree and returns
+    `(outputs_dict, batch_stats)` — the same outputs, and the mutated
+    batch_stats when the contrastive predictor's BatchNorm runs in train mode
+    (unchanged pass-through otherwise). The two stacks run as two back-to-back
+    GPipe pipelines sharing the stage mapping (encoder stage i and decoder
+    stage i live on the same devices); everything between them — masking, the
+    decoder embed, the mask-token scatter — replicates the sequential model
+    exactly (parity-pinned by tests/test_pipeline_parallel.py).
+
+    The mask noise comes from `noise` or a direct `jax.random.uniform(rng, ·)`
+    draw — the same distribution as the flax in-module `make_rng('mask')`
+    draw but a different stream, so per-example masks differ from
+    `model.apply` under the same key (pass `noise` for bit-exact parity).
+    """
+    import flax.linen as nn
+
+    from vit_ae_plus_plus_tpu.models.vit import (
+        ContrastiveHeads, PatchEmbed3D, _dt, dense_init,
+    )
+    from vit_ae_plus_plus_tpu.ops import (
+        get_3d_sincos_pos_embed, random_masking, restore_tokens,
+    )
+
+    c = model.cfg
+    p = variables["params"]
+    dtype = _dt(c.dtype)
+    grid = round(c.num_patches ** (1 / 3))
+    pos = jnp.asarray(
+        get_3d_sincos_pos_embed(c.embed_dim, grid, cls_token=True)[None], jnp.float32
+    )
+    dpos = jnp.asarray(
+        get_3d_sincos_pos_embed(c.decoder_embed_dim, grid, cls_token=True)[None],
+        jnp.float32,
+    )
+
+    contrastive = c.contrastive and view2 is not None
+    x_in = jnp.concatenate([view1, view2], axis=0) if contrastive else view1
+
+    # --- encoder pre (replicated) -----------------------------------------
+    x = PatchEmbed3D(c.patch_size, c.embed_dim, dtype=dtype).apply(
+        {"params": p["patch_embed"]}, x_in
+    )
+    x = x + pos[:, 1:, :].astype(x.dtype)
+    if noise is None and mask_ratio > 0:
+        if rng is None:
+            raise ValueError("mask_ratio > 0 needs `noise` or `rng`")
+        noise = jax.random.uniform(rng, x.shape[:2])
+    if mask_ratio > 0:
+        x, mask_all, ids_all = random_masking(x, mask_ratio, noise=noise)
+    else:
+        b_, l_ = x.shape[:2]
+        mask_all = jnp.zeros((b_, l_), x.dtype)
+        ids_all = jnp.broadcast_to(jnp.arange(l_), (b_, l_))
+    cls = p["cls_token"].astype(x.dtype) + pos[:, :1, :].astype(x.dtype)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1])), x], axis=1
+    )
+
+    # --- encoder pipeline -------------------------------------------------
+    x = pipeline_blocks(
+        make_block_apply(c, deterministic=not train),
+        stack_block_params(p, c.depth),
+        x,
+        mesh,
+        n_microbatches=n_microbatches * (2 if contrastive else 1),
+        axis=axis,
+    )
+    x = nn.LayerNorm(epsilon=1e-6, dtype=dtype).apply({"params": p["norm"]}, x)
+
+    if contrastive:
+        b = view1.shape[0]
+        latent, latent2 = x[:b], x[b:]
+        mask, ids_restore = mask_all[:b], ids_all[:b]
+    else:
+        latent, mask, ids_restore = x, mask_all, ids_all
+
+    # --- decoder pre (replicated) -----------------------------------------
+    d = nn.Dense(c.decoder_embed_dim, kernel_init=dense_init, dtype=dtype).apply(
+        {"params": p["decoder_embed"]}, latent
+    )
+    x_ = restore_tokens(d[:, 1:, :], p["mask_token"], ids_restore)
+    y = jnp.concatenate([d[:, :1, :], x_], axis=1) + dpos.astype(d.dtype)
+
+    # --- decoder pipeline -------------------------------------------------
+    y = pipeline_blocks(
+        make_block_apply(c, deterministic=not train, num_heads=c.decoder_num_heads),
+        stack_block_params(p, c.decoder_depth, prefix="decoder_blocks_"),
+        y,
+        mesh,
+        n_microbatches=n_microbatches,
+        axis=axis,
+    )
+    y = nn.LayerNorm(epsilon=1e-6, dtype=dtype).apply({"params": p["decoder_norm"]}, y)
+    pred = nn.Dense(c.patch_dim, kernel_init=dense_init, dtype=dtype).apply(
+        {"params": p["decoder_pred"]}, y
+    )[:, 1:, :]
+
+    out = {"pred": pred, "mask": mask, "ids_restore": ids_restore, "latent": latent}
+    bs = variables.get("batch_stats")
+    if contrastive:
+        z1 = latent.reshape(-1, latent.shape[-1])
+        z2 = latent2.reshape(-1, latent2.shape[-1])
+        heads = ContrastiveHeads(c.embed_dim, use_proj=c.use_proj, dtype=dtype)
+        hv = {"params": p["heads"]}
+        if bs is not None:
+            hv["batch_stats"] = bs["heads"]
+        if train:
+            (p1, p2, z1, z2), mut = heads.apply(
+                hv, z1, z2, train=True, apply_proj=False, mutable=["batch_stats"]
+            )
+            bs = {"heads": mut["batch_stats"]}
+        else:
+            p1, p2, z1, z2 = heads.apply(hv, z1, z2, train=False, apply_proj=False)
+        out.update(
+            p1=p1, p2=p2,
+            z1=jax.lax.stop_gradient(z1), z2=jax.lax.stop_gradient(z2),
+        )
+    return out, bs
+
+
+def make_pp_train_step(
+    model,
+    patch_size: int,
+    mesh: Mesh,
+    *,
+    n_microbatches: int,
+    mask_ratio: float = 0.75,
+    contr_weight: float = 0.0,
+    perceptual_weight: float = 0.0,
+    norm_pix_loss: bool = False,
+    perceptual_fn=None,
+    loss_filters_dtype: str = "float32",
+    axis: str = "pipe",
+    donate: bool = True,
+):
+    """train/step.py::make_train_step with the MAE forward pipelined over
+    mesh[axis] — the same `(state, view1, view2, rng, edge_map_weight) ->
+    (state, metrics)` contract, composed with the 'data' axis (batches shard
+    over 'data', GSPMD still inserts the gradient all-reduce)."""
+    from jax.sharding import NamedSharding
+    import optax
+
+    from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
+
+    contrastive = getattr(model.cfg, "contrastive", False)
+
+    def step_fn(state, view1, view2, rng, edge_map_weight):
+        rng1 = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs, new_bs = pipelined_mae_forward(
+                model,
+                variables,
+                view1,
+                view2 if contrastive else None,
+                mesh=mesh,
+                n_microbatches=n_microbatches,
+                mask_ratio=mask_ratio,
+                rng=rng1,
+                train=True,
+                axis=axis,
+            )
+            total, metrics = mae_loss_terms(
+                outputs,
+                view1.astype(jnp.float32),
+                patch_size,
+                edge_map_weight=edge_map_weight,
+                contr_weight=contr_weight,
+                perceptual_weight=perceptual_weight,
+                norm_pix_loss=norm_pix_loss,
+                perceptual_fn=perceptual_fn,
+                filters_dtype=loss_filters_dtype,
+            )
+            return total, (metrics, new_bs if new_bs else state.batch_stats)
+
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, metrics
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
