@@ -12,7 +12,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    # XLA:CPU's concurrency-optimized schedule lets independent collectives
+    # become ready simultaneously; with one executor thread per virtual
+    # device the devices can then rendezvous DIFFERENT collectives (e.g. a
+    # data-axis BatchNorm all-reduce vs a pipeline ppermute) — a cyclic
+    # wait that aborts after the 40 s rendezvous timeout. The sequential
+    # scheduler keeps one consistent collective order on every device
+    # (measured: 0/14 aborts vs ~70% on the pp train step).
+    flags = flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

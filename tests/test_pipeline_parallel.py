@@ -243,6 +243,93 @@ def test_pp_train_step_trains():
     assert losses[-1] < losses[0]
 
 
+def test_pp_params_roundtrip():
+    from vit_ae_plus_plus_tpu.parallel.pp import from_pp_params, to_pp_params
+
+    cfg, model, variables, v1, _ = _mae()
+    p = variables["params"]
+    stacked = to_pp_params(p, cfg.depth, cfg.decoder_depth)
+    assert "enc_stack" in stacked and "dec_stack" in stacked
+    assert not any(k.startswith("blocks_") for k in stacked)
+    rt = from_pp_params(stacked, cfg.depth, cfg.decoder_depth)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p),
+        jax.tree_util.tree_leaves_with_path(rt),
+        strict=True,
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_state_step_matches_replicated():
+    """True-1/S storage: with stacked + pipe-sharded params/opt-state the
+    training step produces the same parameters as the replicated-storage pp
+    step, and each device holds only depth/S layers of every block leaf."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from vit_ae_plus_plus_tpu.parallel.pp import (
+        from_pp_params, make_pp_train_step, shard_pp_state, to_pp_params,
+    )
+    from vit_ae_plus_plus_tpu.train.state import TrainState
+
+    cfg, model, variables, v1, v2 = _mae(contrastive=True)
+    mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
+    tx = optax.adamw(1e-3)
+
+    def mk_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params), tx=tx,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    ew = jnp.float32(0.0)
+
+    # replicated-storage pp step
+    step_repl = make_pp_train_step(
+        model, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
+        donate=False,
+    )
+    s_repl, m_repl = step_repl(mk_state(variables["params"]), v1, v2, rng, ew)
+
+    # stacked, 1/S-sharded storage
+    sp = to_pp_params(variables["params"], cfg.depth, cfg.decoder_depth)
+    s_stacked = shard_pp_state(mk_state(sp), mesh)
+    step_stacked = make_pp_train_step(
+        model, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
+        donate=False, stacked_state=True,
+    )
+    s_stacked, m_stacked = step_stacked(s_stacked, v1, v2, rng, ew)
+
+    np.testing.assert_allclose(
+        float(m_stacked["loss"]), float(m_repl["loss"]), atol=1e-5
+    )
+    # identical updated parameters
+    got = from_pp_params(
+        jax.device_get(s_stacked.params), cfg.depth, cfg.decoder_depth
+    )
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(s_repl.params)),
+        jax.tree_util.tree_leaves_with_path(got),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
+    # 1/S storage for params AND the AdamW moments
+    for tree in (s_stacked.params["enc_stack"], s_stacked.params["dec_stack"]):
+        for leaf in jax.tree.leaves(tree):
+            shard, = {s.data.shape for s in leaf.addressable_shards
+                      if s.device in leaf.sharding.device_set} or {None}
+            assert shard[0] == cfg.depth // 2, (leaf.shape, shard)
+    mu = s_stacked.opt_state[0].mu["enc_stack"]
+    for leaf in jax.tree.leaves(mu):
+        assert leaf.addressable_shards[0].data.shape[0] == cfg.depth // 2
+
+
 def test_flash_local_matches_naive():
     """The shard_map-safe kernel entry (no custom_partitioning wrapper) is
     numerically the same attention."""

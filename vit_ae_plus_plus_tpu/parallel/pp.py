@@ -72,6 +72,74 @@ def unstack_block_params(stacked, depth: int, prefix: str = "blocks_"):
     }
 
 
+# ---------------------------------------------------------------------------
+# Stacked-state storage: true 1/S weight + optimizer memory.
+#
+# The correctness-first path stores the standard per-layer params and restacks
+# them every step (replicated storage). For production PP the state itself
+# holds the block stacks as single (L, ...) leaves sharded over 'pipe' dim 0 —
+# then params, grads, AND the AdamW moments (whose trees mirror params) all
+# live 1/S per device, and the per-step restack disappears.
+# ---------------------------------------------------------------------------
+
+
+def to_pp_params(params, depth: int, decoder_depth: Optional[int] = None):
+    """Standard per-layer params tree -> stacked form: blocks_{i} subtrees
+    fold into one 'enc_stack' ((depth, ...) leaves), decoder_blocks_{i} into
+    'dec_stack'. Checkpoints stay in per-layer form; convert at load."""
+    out = {
+        k: v
+        for k, v in params.items()
+        if not (k.startswith("blocks_") or k.startswith("decoder_blocks_"))
+    }
+    out["enc_stack"] = stack_block_params(params, depth)
+    if decoder_depth is not None:
+        out["dec_stack"] = stack_block_params(
+            params, decoder_depth, prefix="decoder_blocks_"
+        )
+    return out
+
+
+def from_pp_params(params, depth: int, decoder_depth: Optional[int] = None):
+    """Inverse of to_pp_params (for saving standard checkpoints)."""
+    out = {k: v for k, v in params.items() if k not in ("enc_stack", "dec_stack")}
+    out.update(unstack_block_params(params["enc_stack"], depth))
+    if decoder_depth is not None:
+        out.update(
+            unstack_block_params(
+                params["dec_stack"], decoder_depth, prefix="decoder_blocks_"
+            )
+        )
+    return out
+
+
+def pp_state_shardings(state, mesh: Mesh, axis: str = "pipe"):
+    """NamedSharding tree for a stacked-params TrainState: block-stack leaves
+    — any leaf whose tree path passes through 'enc_stack'/'dec_stack', which
+    covers params AND the optimizer moments mirroring them — shard dim 0 over
+    mesh[axis]; everything else replicates."""
+    from jax.sharding import NamedSharding
+
+    def spec(path, leaf):
+        stacked = any(
+            getattr(k, "key", getattr(k, "name", None)) in ("enc_stack", "dec_stack")
+            for k in path
+        )
+        return NamedSharding(
+            mesh, P(axis) if stacked and getattr(leaf, "ndim", 0) > 0 else P()
+        )
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def shard_pp_state(state, mesh: Mesh, axis: str = "pipe"):
+    """Commit a stacked-params TrainState to its 1/S placement: after this,
+    per-device block weight/moment memory is depth/S layers."""
+    return jax.tree.map(
+        jax.device_put, state, pp_state_shardings(state, mesh, axis)
+    )
+
+
 def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] = None):
     """One-transformer-block apply(layer_params, x) built from the model's
     own Block module, with the attention impl forced to a shard_map-safe
@@ -305,9 +373,14 @@ def pipelined_mae_forward(
     )
 
     # --- encoder pipeline -------------------------------------------------
+    # stacked-state params ('enc_stack'/'dec_stack' leaves, see to_pp_params)
+    # are consumed directly — no per-step restack, storage stays 1/S-sharded
+    enc_stacked = (
+        p["enc_stack"] if "enc_stack" in p else stack_block_params(p, c.depth)
+    )
     x = pipeline_blocks(
         make_block_apply(c, deterministic=not train),
-        stack_block_params(p, c.depth),
+        enc_stacked,
         x,
         mesh,
         n_microbatches=n_microbatches * (2 if contrastive else 1),
@@ -330,9 +403,14 @@ def pipelined_mae_forward(
     y = jnp.concatenate([d[:, :1, :], x_], axis=1) + dpos.astype(d.dtype)
 
     # --- decoder pipeline -------------------------------------------------
+    dec_stacked = (
+        p["dec_stack"]
+        if "dec_stack" in p
+        else stack_block_params(p, c.decoder_depth, prefix="decoder_blocks_")
+    )
     y = pipeline_blocks(
         make_block_apply(c, deterministic=not train, num_heads=c.decoder_num_heads),
-        stack_block_params(p, c.decoder_depth, prefix="decoder_blocks_"),
+        dec_stacked,
         y,
         mesh,
         n_microbatches=n_microbatches,
@@ -348,6 +426,18 @@ def pipelined_mae_forward(
     if contrastive:
         z1 = latent.reshape(-1, latent.shape[-1])
         z2 = latent2.reshape(-1, latent2.shape[-1])
+        # Serialize the heads' BatchNorm data-axis all-reduces against the
+        # pipeline's ppermutes. Without this the two are independent
+        # dependency branches and XLA:CPU's thunk executor may rendezvous
+        # them in a different order per device — observed as a cyclic
+        # collective deadlock on the virtual mesh (device 0 in the BN
+        # all-reduce while the others wait in the ppermute). The barrier
+        # makes heads-fwd depend on the decoder pipeline and, through its
+        # transpose, decoder-bwd depend on heads-bwd, giving every device
+        # one totally-ordered collective chain. TPU serializes the module
+        # anyway, so this costs nothing there.
+        z1, z2, pred = jax.lax.optimization_barrier((z1, z2, pred))
+        out["pred"] = pred
         heads = ContrastiveHeads(c.embed_dim, use_proj=c.use_proj, dtype=dtype)
         hv = {"params": p["heads"]}
         if bs is not None:
@@ -380,11 +470,21 @@ def make_pp_train_step(
     loss_filters_dtype: str = "float32",
     axis: str = "pipe",
     donate: bool = True,
+    stacked_state: bool = False,
+    state_shardings=None,
 ):
     """train/step.py::make_train_step with the MAE forward pipelined over
     mesh[axis] — the same `(state, view1, view2, rng, edge_map_weight) ->
     (state, metrics)` contract, composed with the 'data' axis (batches shard
-    over 'data', GSPMD still inserts the gradient all-reduce)."""
+    over 'data', GSPMD still inserts the gradient all-reduce).
+
+    `stacked_state=True`: the state carries stacked block params
+    (to_pp_params) committed via shard_pp_state — params, grads and AdamW
+    moments stay 1/S-sharded over mesh[axis] end to end. Pass
+    `state_shardings=pp_state_shardings(state, mesh)` to pin the placement
+    explicitly (preferred — fully-specified programs are reproducible and
+    persistent-cache-safe); with None the shardings are inferred from the
+    committed placements."""
     from jax.sharding import NamedSharding
     import optax
 
@@ -434,6 +534,14 @@ def make_pp_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if stacked_state:
+        ss = state_shardings
+        return jax.jit(
+            step_fn,
+            in_shardings=(ss, data, data, repl, repl),
+            out_shardings=(ss, repl) if ss is not None else None,
+            donate_argnums=(0,) if donate else (),
+        )
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, data, repl, repl),
