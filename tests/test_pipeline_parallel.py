@@ -330,6 +330,39 @@ def test_stacked_state_step_matches_replicated():
         assert leaf.addressable_shards[0].data.shape[0] == cfg.depth // 2
 
 
+def test_pp_pretrain_kfold_e2e(tmp_path):
+    """pretrain-kfold with --pipe-devices 2: the full pipeline (loader ->
+    pipelined stacked-state step -> min-loss checkpoint -> feature
+    extraction) runs on a (data=2, pipe=2) mesh and the saved checkpoint is
+    in the STANDARD per-layer layout (layout-independent on disk)."""
+    import os
+
+    from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+    from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+
+    base = tmp_path / "data"
+    base.mkdir()
+    n = 16
+    np.save(base / "x_whole_ssl.npy",
+            np.random.default_rng(0).standard_normal((n, 16, 16, 16, 1)).astype(np.float32))
+    np.save(base / "y_whole_ssl.npy", np.array([0, 1] * (n // 2)))
+    data_cfg = DataConfig(name="brats", base_path=str(base), volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4,
+                            warmup_epochs=1, compute_dtype="float32",
+                            contr_weight=0.001, pipe_devices=2)
+    work = str(tmp_path / "work")
+    results = pretrain_kfold(data_cfg, train_cfg, work,
+                             model_name="contr_mae_vit_tiny_pp_patch4",
+                             n_splits=2, n_devices=4)
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+    ckpt = os.path.join(work, "checkpoints", "fold_0", "checkpoint-min_loss")
+    params = load_params(ckpt, None)
+    assert "blocks_0" in params and "decoder_blocks_1" in params
+    assert "enc_stack" not in params
+
+
 def test_flash_local_matches_naive():
     """The shard_map-safe kernel entry (no custom_partitioning wrapper) is
     numerically the same attention."""

@@ -46,6 +46,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--model", default="contr_mae_vit_base_patch16")
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--pipe-devices", type=int, default=1,
+                   help="GPipe pipeline stages over a 'pipe' mesh axis "
+                        "(pretrain only; must divide --n-devices and both "
+                        "block-stack depths)")
+    p.add_argument("--pp-microbatches", type=int, default=None,
+                   help="GPipe microbatches (default: auto, <= 4*pipe)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device-augment", action="store_true",
                    help="run augmentation on-device (BraTS and EGD)")
@@ -80,6 +86,8 @@ def _configs(args) -> tuple:
             profile_dir=getattr(args, "profile_dir", None),
             vgg_ckpt=getattr(args, "vgg_ckpt", None),
             loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
+            pipe_devices=getattr(args, "pipe_devices", 1),
+            pp_microbatches=getattr(args, "pp_microbatches", None),
         )
         return data_cfg, train_cfg
     data_cfg = DataConfig(
@@ -98,6 +106,8 @@ def _configs(args) -> tuple:
         perceptual_weight=getattr(args, "perceptual_weight", 0.0),
         vgg_ckpt=getattr(args, "vgg_ckpt", None),
         loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
+        pipe_devices=getattr(args, "pipe_devices", 1),
+        pp_microbatches=getattr(args, "pp_microbatches", None),
     )
     return data_cfg, train_cfg
 

@@ -142,6 +142,11 @@ class TrainConfig:
     # instead of in host loader threads (removes the input-bound stage)
     donate_state: bool = True
     mesh_shape: Tuple[int, ...] = (1,)  # (data,) mesh; >1 shards the batch
+    pipe_devices: int = 1  # >1: GPipe pipeline over a 'pipe' mesh axis —
+    # both MAE block stacks run stage-sharded with 1/S weight+optimizer
+    # memory per device (parallel/pp.py); requires depth % pipe == 0
+    pp_microbatches: Optional[int] = None  # GPipe microbatches per batch
+    # (None: largest divisor of batch_size <= 4*pipe_devices)
     start_epoch: int = 0
     resume: bool = False  # restore params+optimiser+epoch from the fold's
     # periodic checkpoint (reference --resume, misc.py:315-329)

@@ -81,15 +81,23 @@ def contr_mae_vit_base_patch16_fast(**kw) -> MAEConfig:
 
 def mae_vit_tiny_patch4(**kw) -> MAEConfig:
     """Tiny debug/test preset (not in the reference zoo)."""
-    kw.setdefault("patch_size", 4)
-    return MAEConfig(
-        embed_dim=24, depth=2, num_heads=3,
-        decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2, **kw
-    )
+    for k, v in dict(
+        patch_size=4, embed_dim=24, depth=2, num_heads=3,
+        decoder_embed_dim=12, decoder_depth=1, decoder_num_heads=2,
+    ).items():
+        kw.setdefault(k, v)
+    return MAEConfig(**kw)
 
 
 def contr_mae_vit_tiny_patch4(**kw) -> MAEConfig:
     return mae_vit_tiny_patch4(contrastive=True, **kw)
+
+
+def contr_mae_vit_tiny_pp_patch4(**kw) -> MAEConfig:
+    """Tiny preset with BOTH stack depths divisible by 2 pipeline stages
+    (depth=2, decoder_depth=2) — for --pipe-devices tests/demos."""
+    kw.setdefault("decoder_depth", 2)
+    return contr_mae_vit_tiny_patch4(**kw)
 
 
 def vit_base_3d(**kw) -> ViTConfig:
@@ -108,6 +116,7 @@ MODEL_ZOO: Dict[str, Callable[..., Any]] = {
     "contr_mae_vit_base_patch16_fast": contr_mae_vit_base_patch16_fast,
     "mae_vit_tiny_patch4": mae_vit_tiny_patch4,
     "contr_mae_vit_tiny_patch4": contr_mae_vit_tiny_patch4,
+    "contr_mae_vit_tiny_pp_patch4": contr_mae_vit_tiny_pp_patch4,
     "vit_base_3d": vit_base_3d,
     "vit_large_3d": vit_large_3d,
 }

@@ -140,6 +140,15 @@ def shard_pp_state(state, mesh: Mesh, axis: str = "pipe"):
     )
 
 
+def auto_microbatches(batch: int, n_stages: int) -> int:
+    """Largest divisor of `batch` <= 4 * n_stages — the GPipe guidance
+    (bubble fraction (S-1)/(M+S-1)) capped by batch divisibility."""
+    for m in range(min(batch, 4 * n_stages), 0, -1):
+        if batch % m == 0:
+            return m
+    return 1
+
+
 def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] = None):
     """One-transformer-block apply(layer_params, x) built from the model's
     own Block module, with the attention impl forced to a shard_map-safe

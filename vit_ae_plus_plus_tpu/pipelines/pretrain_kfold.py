@@ -140,19 +140,62 @@ def pretrain_one_fold(
         from vit_ae_plus_plus_tpu.models.vgg import build_perceptual
 
         _, _, perceptual_fn = build_perceptual(train_cfg.vgg_ckpt)
-    step = make_train_step(
-        model, mae_cfg.patch_size,
-        mask_ratio=train_cfg.mask_ratio,
-        contr_weight=train_cfg.contr_weight if mae_cfg.contrastive else 0.0,
-        perceptual_weight=train_cfg.perceptual_weight,
-        norm_pix_loss=train_cfg.norm_pix_loss,
-        perceptual_fn=perceptual_fn,
-        loss_filters_dtype=train_cfg.loss_filters_dtype,
-        mesh=mesh,
-        donate=train_cfg.donate_state,
-    )
-    if mesh is not None:
-        state = replicate(state, mesh)
+    pipe = mesh.shape.get("pipe", 1) if mesh is not None else 1
+    if pipe > 1:
+        # GPipe pipeline over the 'pipe' axis (parallel/pp.py): both block
+        # stacks stage-sharded, stacked params + AdamW moments committed to
+        # their 1/S placement; checkpoints stay in standard per-layer form
+        # (converted at save, see `_host_params` below)
+        from vit_ae_plus_plus_tpu.parallel.pp import (
+            auto_microbatches, make_pp_train_step, pp_state_shardings,
+            shard_pp_state, to_pp_params,
+        )
+
+        n_mb = train_cfg.pp_microbatches or auto_microbatches(
+            train_cfg.batch_size, pipe
+        )
+        sp = to_pp_params(state.params, mae_cfg.depth, mae_cfg.decoder_depth)
+        state = state.replace(params=sp, opt_state=tx.init(sp))
+        state = shard_pp_state(state, mesh)
+        step = make_pp_train_step(
+            model, mae_cfg.patch_size, mesh,
+            n_microbatches=n_mb,
+            mask_ratio=train_cfg.mask_ratio,
+            contr_weight=train_cfg.contr_weight if mae_cfg.contrastive else 0.0,
+            perceptual_weight=train_cfg.perceptual_weight,
+            norm_pix_loss=train_cfg.norm_pix_loss,
+            perceptual_fn=perceptual_fn,
+            loss_filters_dtype=train_cfg.loss_filters_dtype,
+            donate=train_cfg.donate_state,
+            stacked_state=True,
+            state_shardings=pp_state_shardings(state, mesh),
+        )
+        print(f"Fold {fold_idx}: GPipe pipeline pipe={pipe} "
+              f"data={mesh.shape['data']} microbatches={n_mb}")
+    else:
+        step = make_train_step(
+            model, mae_cfg.patch_size,
+            mask_ratio=train_cfg.mask_ratio,
+            contr_weight=train_cfg.contr_weight if mae_cfg.contrastive else 0.0,
+            perceptual_weight=train_cfg.perceptual_weight,
+            norm_pix_loss=train_cfg.norm_pix_loss,
+            perceptual_fn=perceptual_fn,
+            loss_filters_dtype=train_cfg.loss_filters_dtype,
+            mesh=mesh,
+            donate=train_cfg.donate_state,
+        )
+        if mesh is not None:
+            state = replicate(state, mesh)
+
+    def _host_params(params):
+        """device_get + convert stacked pipeline params back to the standard
+        per-layer tree so on-disk checkpoints are layout-independent."""
+        params = jax.device_get(params)
+        if pipe > 1:
+            from vit_ae_plus_plus_tpu.parallel.pp import from_pp_params
+
+            params = from_pp_params(params, mae_cfg.depth, mae_cfg.decoder_depth)
+        return params
 
     ckpt_dir = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}")
     jsonl = JsonlLogger(os.path.join(work_dir, "checkpoints"))
@@ -249,7 +292,7 @@ def pretrain_one_fold(
             raise FloatingPointError(f"Loss is {stats['loss']}, stopping training")
         if stats["loss"] < min_loss:
             min_loss = stats["loss"]
-            best_params = jax.device_get(state.params)
+            best_params = _host_params(state.params)
             save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"), best_params)
         jsonl.write({**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch,
                      "fold": fold_idx})
@@ -267,7 +310,7 @@ def pretrain_one_fold(
                 f"no epochs ran for fold {fold_idx} and no min-loss checkpoint "
                 f"exists at {ckpt} (start_epoch >= epochs on a fresh work dir?)"
             )
-        best_params = load_params(ckpt, jax.device_get(state.params))
+        best_params = load_params(ckpt, _host_params(state.params))
     print(f"Fold {fold_idx}: trained epochs [{start_epoch}, {train_cfg.epochs}) in "
           f"{time.time() - t_start:.0f}s, min loss {min_loss:.4f}")
     return mae_cfg, best_params, {"min_loss": min_loss}
@@ -379,7 +422,18 @@ def pretrain_kfold(
     )
 
     mesh = None
-    if n_devices is not None and n_devices > 1:
+    pipe = getattr(train_cfg, "pipe_devices", 1) or 1
+    if pipe > 1:
+        from vit_ae_plus_plus_tpu.parallel.pp import make_pipeline_mesh
+
+        total = n_devices if n_devices is not None else pipe
+        if total % pipe:
+            raise ValueError(
+                f"--n-devices {total} not divisible by --pipe-devices {pipe}"
+            )
+        mesh = make_pipeline_mesh(pipe, data=total // pipe,
+                                  devices=jax.devices()[:total])
+    elif n_devices is not None and n_devices > 1:
         mesh = make_mesh(data=n_devices)
     tb = TBWriter(os.path.join(work_dir, "logs"))
 
