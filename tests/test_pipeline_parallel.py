@@ -269,13 +269,18 @@ def test_stacked_state_step_matches_replicated():
     from jax.sharding import NamedSharding
 
     from vit_ae_plus_plus_tpu.parallel.pp import (
-        from_pp_params, make_pp_train_step, shard_pp_state, to_pp_params,
+        from_pp_params, make_pp_train_step, pp_state_shardings,
+        shard_pp_state, to_pp_params,
     )
     from vit_ae_plus_plus_tpu.train.state import TrainState
 
     cfg, model, variables, v1, v2 = _mae(contrastive=True)
     mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
-    tx = optax.adamw(1e-3)
+    # the production optimizer: its masked weight decay must treat stacked
+    # (L, D) biases/norm scales exactly like their per-layer (D,) forms
+    from vit_ae_plus_plus_tpu.train.optim import make_adamw
+
+    tx = make_adamw(1e-3, weight_decay=0.05)
 
     def mk_state(params):
         return TrainState(
@@ -300,6 +305,7 @@ def test_stacked_state_step_matches_replicated():
     step_stacked = make_pp_train_step(
         model, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
         donate=False, stacked_state=True,
+        state_shardings=pp_state_shardings(s_stacked, mesh),
     )
     s_stacked, m_stacked = step_stacked(s_stacked, v1, v2, rng, ew)
 

@@ -46,12 +46,6 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--model", default="contr_mae_vit_base_patch16")
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--n-devices", type=int, default=None)
-    p.add_argument("--pipe-devices", type=int, default=1,
-                   help="GPipe pipeline stages over a 'pipe' mesh axis "
-                        "(pretrain only; must divide --n-devices and both "
-                        "block-stack depths)")
-    p.add_argument("--pp-microbatches", type=int, default=None,
-                   help="GPipe microbatches (default: auto, <= 4*pipe)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--device-augment", action="store_true",
                    help="run augmentation on-device (BraTS and EGD)")
@@ -121,6 +115,14 @@ def main(argv=None):
                  "eval-classical", "sanity-viz", "contrastive-train"):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "pretrain-kfold":
+            p.add_argument("--pipe-devices", type=int, default=1,
+                           help="GPipe pipeline stages over a 'pipe' mesh "
+                                "axis (must divide --n-devices and both "
+                                "block-stack depths; parallel/pp.py)")
+            p.add_argument("--pp-microbatches", type=int, default=None,
+                           help="GPipe microbatches (default: auto, "
+                                "<= 4*pipe)")
         if name in ("probe-kfold", "finetune-kfold"):
             p.add_argument("--pretrain-dir", required=True)
             p.add_argument("--use-mixup", action="store_true")

@@ -140,13 +140,18 @@ def shard_pp_state(state, mesh: Mesh, axis: str = "pipe"):
     )
 
 
-def auto_microbatches(batch: int, n_stages: int) -> int:
+def auto_microbatches(batch: int, n_stages: int, data: int = 1) -> int:
     """Largest divisor of `batch` <= 4 * n_stages — the GPipe guidance
-    (bubble fraction (S-1)/(M+S-1)) capped by batch divisibility."""
+    (bubble fraction (S-1)/(M+S-1)) capped by batch divisibility, preferring
+    microbatches whose batch dim still splits evenly over the `data` axis
+    (else GSPMD pads/reshards on every pipeline tick)."""
+    best_any = None
     for m in range(min(batch, 4 * n_stages), 0, -1):
         if batch % m == 0:
-            return m
-    return 1
+            best_any = best_any or m
+            if (batch // m) % data == 0:
+                return m
+    return best_any or 1
 
 
 def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] = None):
@@ -161,7 +166,8 @@ def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] =
         # 'auto'/'flash'/'flash_packed'/'flash_seq'/'flash_ring' all resolve
         # to custom_partitioning or mesh-wide kernels — not legal per-stage
         impl = "flash_local" if jax.default_backend() == "tpu" else "xla"
-    blk = Block(
+    block_cls = nn.remat(Block) if getattr(cfg, "remat_blocks", False) else Block
+    blk = block_cls(
         num_heads if num_heads is not None else cfg.num_heads,
         cfg.mlp_ratio,
         attn_impl=impl,
@@ -336,6 +342,11 @@ def pipelined_mae_forward(
     draw — the same distribution as the flax in-module `make_rng('mask')`
     draw but a different stream, so per-example masks differ from
     `model.apply` under the same key (pass `noise` for bit-exact parity).
+
+    MAINTENANCE: this is a hand-unrolled mirror of models/mae.py (flax
+    modules can't be sliced into shard_map stages); any change to the MAE
+    forward must be replicated here — the parity tests in
+    tests/test_pipeline_parallel.py are the drift alarm.
     """
     import flax.linen as nn
 
@@ -489,71 +500,48 @@ def make_pp_train_step(
 
     `stacked_state=True`: the state carries stacked block params
     (to_pp_params) committed via shard_pp_state — params, grads and AdamW
-    moments stay 1/S-sharded over mesh[axis] end to end. Pass
-    `state_shardings=pp_state_shardings(state, mesh)` to pin the placement
-    explicitly (preferred — fully-specified programs are reproducible and
-    persistent-cache-safe); with None the shardings are inferred from the
-    committed placements."""
-    from jax.sharding import NamedSharding
-    import optax
+    moments stay 1/S-sharded over mesh[axis] end to end; pass
+    `state_shardings=pp_state_shardings(state, mesh)` (required — explicit
+    placements keep the compiled program fully specified and
+    persistent-cache-safe).
 
-    from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
+    Thin wrapper: injects the pipelined forward into the shared
+    train/step.py::make_train_step body (loss assembly, value_and_grad,
+    AdamW update, metrics) so the two paths cannot drift."""
+    from vit_ae_plus_plus_tpu.train.step import make_train_step
 
+    if stacked_state and state_shardings is None:
+        raise ValueError(
+            "stacked_state=True requires state_shardings="
+            "pp_state_shardings(state, mesh)"
+        )
     contrastive = getattr(model.cfg, "contrastive", False)
 
-    def step_fn(state, view1, view2, rng, edge_map_weight):
-        rng1 = jax.random.fold_in(rng, state.step)
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            outputs, new_bs = pipelined_mae_forward(
-                model,
-                variables,
-                view1,
-                view2 if contrastive else None,
-                mesh=mesh,
-                n_microbatches=n_microbatches,
-                mask_ratio=mask_ratio,
-                rng=rng1,
-                train=True,
-                axis=axis,
-            )
-            total, metrics = mae_loss_terms(
-                outputs,
-                view1.astype(jnp.float32),
-                patch_size,
-                edge_map_weight=edge_map_weight,
-                contr_weight=contr_weight,
-                perceptual_weight=perceptual_weight,
-                norm_pix_loss=norm_pix_loss,
-                perceptual_fn=perceptual_fn,
-                filters_dtype=loss_filters_dtype,
-            )
-            return total, (metrics, new_bs if new_bs else state.batch_stats)
-
-        (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+    def forward_fn(variables, view1, view2, rng1):
+        return pipelined_mae_forward(
+            model,
+            variables,
+            view1,
+            view2 if contrastive else None,
+            mesh=mesh,
+            n_microbatches=n_microbatches,
+            mask_ratio=mask_ratio,
+            rng=rng1,
+            train=True,
+            axis=axis,
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
-        state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=new_bs)
-        return state, metrics
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    if stacked_state:
-        ss = state_shardings
-        return jax.jit(
-            step_fn,
-            in_shardings=(ss, data, data, repl, repl),
-            out_shardings=(ss, repl) if ss is not None else None,
-            donate_argnums=(0,) if donate else (),
-        )
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data, data, repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else (),
+    return make_train_step(
+        model,
+        patch_size,
+        mask_ratio=mask_ratio,
+        contr_weight=contr_weight,
+        perceptual_weight=perceptual_weight,
+        norm_pix_loss=norm_pix_loss,
+        perceptual_fn=perceptual_fn,
+        loss_filters_dtype=loss_filters_dtype,
+        mesh=mesh,
+        donate=donate,
+        forward_fn=forward_fn,
+        state_shardings=state_shardings if stacked_state else None,
     )

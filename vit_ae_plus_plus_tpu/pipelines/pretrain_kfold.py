@@ -129,9 +129,13 @@ def pretrain_one_fold(
 
     s = data_cfg.volume_size
     sample = jnp.zeros((train_cfg.batch_size, data_cfg.in_channels, s, s, s), jnp.float32)
+    pipe = mesh.shape.get("pipe", 1) if mesh is not None else 1
     state = create_train_state(
         model, (sample, sample), tx,
         {"params": jax.random.PRNGKey(train_cfg.seed), "mask": jax.random.PRNGKey(1)},
+        # pipe path converts params to the stacked layout first, then inits
+        # the optimizer moments once, directly in that layout
+        init_opt=(pipe == 1),
     )
     perceptual_fn = None
     if train_cfg.perceptual_weight:
@@ -140,7 +144,6 @@ def pretrain_one_fold(
         from vit_ae_plus_plus_tpu.models.vgg import build_perceptual
 
         _, _, perceptual_fn = build_perceptual(train_cfg.vgg_ckpt)
-    pipe = mesh.shape.get("pipe", 1) if mesh is not None else 1
     if pipe > 1:
         # GPipe pipeline over the 'pipe' axis (parallel/pp.py): both block
         # stacks stage-sharded, stacked params + AdamW moments committed to
@@ -148,15 +151,16 @@ def pretrain_one_fold(
         # (converted at save, see `_host_params` below)
         from vit_ae_plus_plus_tpu.parallel.pp import (
             auto_microbatches, make_pp_train_step, pp_state_shardings,
-            shard_pp_state, to_pp_params,
+            to_pp_params,
         )
 
         n_mb = train_cfg.pp_microbatches or auto_microbatches(
-            train_cfg.batch_size, pipe
+            train_cfg.batch_size, pipe, data=mesh.shape["data"]
         )
         sp = to_pp_params(state.params, mae_cfg.depth, mae_cfg.decoder_depth)
         state = state.replace(params=sp, opt_state=tx.init(sp))
-        state = shard_pp_state(state, mesh)
+        shardings = pp_state_shardings(state, mesh)
+        state = jax.tree.map(jax.device_put, state, shardings)
         step = make_pp_train_step(
             model, mae_cfg.patch_size, mesh,
             n_microbatches=n_mb,
@@ -168,7 +172,7 @@ def pretrain_one_fold(
             loss_filters_dtype=train_cfg.loss_filters_dtype,
             donate=train_cfg.donate_state,
             stacked_state=True,
-            state_shardings=pp_state_shardings(state, mesh),
+            state_shardings=shardings,
         )
         print(f"Fold {fold_idx}: GPipe pipeline pipe={pipe} "
               f"data={mesh.shape['data']} microbatches={n_mb}")
@@ -208,7 +212,29 @@ def pretrain_one_fold(
     start_epoch = train_cfg.start_epoch
     resume_mgr = None
     if getattr(train_cfg, "resume", False):
-        resume_mgr = CheckpointManager(os.path.join(ckpt_dir, "resume"), max_to_keep=1)
+        import json as _json
+
+        resume_dir = os.path.join(ckpt_dir, "resume")
+        # Periodic (resume) checkpoints carry the TRAINING layout — stacked
+        # enc_stack/dec_stack trees under --pipe-devices — unlike the
+        # layout-independent min-loss export. Guard against restoring with a
+        # different layout (orbax would fail with an opaque tree mismatch).
+        layout_file = os.path.join(resume_dir, "layout.json")
+        if os.path.exists(layout_file):
+            have = _json.load(open(layout_file)).get("pipe", 1)
+            if have != pipe:
+                raise ValueError(
+                    f"resume checkpoints in {resume_dir} were written with "
+                    f"--pipe-devices {have}; this run uses --pipe-devices "
+                    f"{pipe}. Resume with the same --pipe-devices, or start "
+                    f"from the layout-independent min-loss checkpoint in a "
+                    f"fresh work dir."
+                )
+        else:
+            os.makedirs(resume_dir, exist_ok=True)
+            with open(layout_file, "w") as f:
+                _json.dump({"pipe": pipe}, f)
+        resume_mgr = CheckpointManager(resume_dir, max_to_keep=1)
         state, restored_epoch, restored_min = resume_mgr.restore(state)
         if restored_epoch is not None:
             start_epoch = restored_epoch + 1

@@ -45,8 +45,21 @@ def warmup_cosine_schedule(
 
 
 def weight_decay_mask(params) -> Any:
-    """True (decay) for leaves with ndim > 1 — biases/norm scales exempt."""
-    return jax.tree.map(lambda p: p.ndim > 1, params)
+    """True (decay) for weight matrices — biases/norm scales exempt.
+
+    Leaves under the pipeline's stacked block trees ('enc_stack'/'dec_stack',
+    parallel/pp.py to_pp_params) carry an extra leading (L,) layer dim, so
+    the matrix test there is ndim > 2: a stacked bias is (L, D) and must stay
+    exempt exactly like its per-layer (D,) form."""
+
+    def mask(path, p):
+        stacked = any(
+            str(getattr(k, "key", getattr(k, "name", ""))) in ("enc_stack", "dec_stack")
+            for k in path
+        )
+        return p.ndim > (2 if stacked else 1)
+
+    return jax.tree_util.tree_map_with_path(mask, params)
 
 
 def finetune_weight_decay_mask(params) -> Any:

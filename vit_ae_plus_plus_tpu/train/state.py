@@ -35,9 +35,14 @@ class TrainState:
 
 
 def create_train_state(
-    model, sample_args: tuple, tx: optax.GradientTransformation, rng, sample_kwargs=None
+    model, sample_args: tuple, tx: optax.GradientTransformation, rng,
+    sample_kwargs=None, init_opt: bool = True,
 ) -> TrainState:
-    """Initialise model variables + optimiser state."""
+    """Initialise model variables + optimiser state.
+
+    `init_opt=False` leaves opt_state as None for callers that re-layout the
+    params before the (possibly large) optimizer moments are allocated —
+    e.g. the pipeline's stacked-state conversion (parallel/pp.py)."""
     import jax.numpy as jnp
 
     sample_kwargs = sample_kwargs or {}
@@ -48,6 +53,6 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=tx.init(params) if init_opt else None,
         tx=tx,
     )

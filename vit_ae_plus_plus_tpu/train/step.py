@@ -39,12 +39,21 @@ def make_train_step(
     loss_filters_dtype: str = "float32",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    forward_fn: Optional[Callable] = None,
+    state_shardings=None,
 ) -> Callable:
     """Build `train_step(state, view1, view2, rng, edge_map_weight) ->
     (state, metrics)`.
 
     `edge_map_weight` is a traced f32 scalar so the per-epoch schedule
     (reference k_fold_…_brats.py:183-187) never triggers recompilation.
+
+    `forward_fn(variables, view1, view2, rng) -> (outputs, new_batch_stats)`
+    swaps the model forward while keeping the loss/grad/update body shared —
+    the GPipe pipeline (parallel/pp.py make_pp_train_step) injects its
+    pipelined forward here. `state_shardings` (a NamedSharding tree matching
+    the TrainState) pins non-replicated state placements, e.g. the pipeline's
+    1/S-sharded stacked params + optimizer moments.
     """
     contrastive = getattr(model.cfg, "contrastive", False)
     if (
@@ -61,15 +70,10 @@ def make_train_step(
             "for a mesh with a model axis > 1"
         )
 
-    def step_fn(state: TrainState, view1, view2, rng, edge_map_weight):
-        rng1 = jax.random.fold_in(rng, state.step)
+    if forward_fn is None:
 
-        def loss_fn(params):
-            variables = {"params": params}
-            kwargs = {}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                kwargs["mutable"] = ["batch_stats"]
+        def forward_fn(variables, view1, view2, rng1):
+            kwargs = {"mutable": ["batch_stats"]} if "batch_stats" in variables else {}
             result = model.apply(
                 variables,
                 view1,
@@ -79,6 +83,16 @@ def make_train_step(
                 **kwargs,
             )
             outputs, mutated = result if kwargs else (result, {})
+            return outputs, mutated.get("batch_stats")
+
+    def step_fn(state: TrainState, view1, view2, rng, edge_map_weight):
+        rng1 = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs, new_bs = forward_fn(variables, view1, view2, rng1)
             total, metrics = mae_loss_terms(
                 outputs,
                 view1.astype(jnp.float32),
@@ -90,7 +104,7 @@ def make_train_step(
                 perceptual_fn=perceptual_fn,
                 filters_dtype=loss_filters_dtype,
             )
-            return total, (metrics, mutated.get("batch_stats", state.batch_stats))
+            return total, (metrics, new_bs if new_bs else state.batch_stats)
 
         (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -98,6 +112,16 @@ def make_train_step(
         state = state.replace(batch_stats=new_bs)
         return state, metrics
 
+    if mesh is not None and state_shardings is not None:
+        # explicitly-placed state (e.g. the pipeline's 1/S stacked leaves)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_shardings, data, data, repl, repl),
+            out_shardings=(state_shardings, repl),
+            donate_argnums=(0,) if donate else (),
+        )
     if mesh is not None and mesh.shape.get("model", 1) == 1:
         # pure data parallel: batch over 'data', state replicated
         repl = NamedSharding(mesh, P())
