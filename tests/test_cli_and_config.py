@@ -20,6 +20,37 @@ def test_cli_help_lists_all_subcommands(capsys):
         assert cmd in out
 
 
+def test_cli_fsdp_flag_reaches_trainconfig():
+    """--fsdp parses on pretrain-kfold and lands in TrainConfig; the pipeline
+    rejects it without a data mesh (parallel/fsdp.py needs --n-devices > 1)."""
+    args_ns = None
+
+    class _Stop(Exception):
+        pass
+
+    import vit_ae_plus_plus_tpu.cli as climod
+
+    real_configs = climod._configs
+
+    def spy(args):
+        nonlocal args_ns
+        args_ns = real_configs(args)
+        raise _Stop
+
+    climod._configs = spy
+    try:
+        with pytest.raises(_Stop):
+            climod.main([
+                "pretrain-kfold", "--data-path", "/nonexistent", "--fsdp",
+                "--n-devices", "2",
+            ])
+    finally:
+        climod._configs = real_configs
+    _, train_cfg = args_ns
+    assert train_cfg.fsdp is True
+    assert train_cfg.pipe_devices == 1
+
+
 def test_cli_prepare_data_and_pretrain_smoke(tmp_path):
     rng = np.random.default_rng(0)
     vols = tmp_path / "flair_all.npy"

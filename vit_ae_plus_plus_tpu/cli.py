@@ -24,6 +24,26 @@ import sys
 from vit_ae_plus_plus_tpu.configs import DataConfig, TrainConfig
 
 
+def _honor_platform_env() -> None:
+    """Make an explicit JAX_PLATFORMS env var actually win.
+
+    Some environments force-register an out-of-tree TPU backend from
+    sitecustomize and override the env var through the config API, so
+    `JAX_PLATFORMS=cpu python -m ...cli pretrain-kfold --n-devices 8` (the
+    documented virtual-mesh recipe, tests/conftest.py) would still try the
+    TPU and either fail its mesh-size check or hang on an unreachable
+    tunnel. Re-assert the user's explicit choice before any backend use."""
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass  # backend already initialised: too late, leave it be
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--config", default=None, help="config.ini path (overrides CLI)")
     p.add_argument("--config-key", default="K_FOLD", help="INI section for this run")
@@ -82,6 +102,7 @@ def _configs(args) -> tuple:
             loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
             pipe_devices=getattr(args, "pipe_devices", 1),
             pp_microbatches=getattr(args, "pp_microbatches", None),
+            fsdp=getattr(args, "fsdp", False),
         )
         return data_cfg, train_cfg
     data_cfg = DataConfig(
@@ -102,11 +123,13 @@ def _configs(args) -> tuple:
         loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
         pipe_devices=getattr(args, "pipe_devices", 1),
         pp_microbatches=getattr(args, "pp_microbatches", None),
+        fsdp=getattr(args, "fsdp", False),
     )
     return data_cfg, train_cfg
 
 
 def main(argv=None):
+    _honor_platform_env()
     parser = argparse.ArgumentParser("vit_ae_plus_plus_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -123,6 +146,10 @@ def main(argv=None):
             p.add_argument("--pp-microbatches", type=int, default=None,
                            help="GPipe microbatches (default: auto, "
                                 "<= 4*pipe)")
+            p.add_argument("--fsdp", action="store_true",
+                           help="ZeRO/FSDP: shard params + optimizer moments "
+                                "1/data over the 'data' mesh axis "
+                                "(parallel/fsdp.py; needs --n-devices > 1)")
         if name in ("probe-kfold", "finetune-kfold"):
             p.add_argument("--pretrain-dir", required=True)
             p.add_argument("--use-mixup", action="store_true")
@@ -164,6 +191,15 @@ def main(argv=None):
     explore.add_argument("--out", default=None, help="PNG output (else show)")
     explore.add_argument("--sample", type=int, default=0)
 
+    prof = sub.add_parser(
+        "profile-attrib",
+        help="step-time attribution table from a jax.profiler trace "
+             "(utils/profile_tools.py; pair with pretrain-kfold --profile-dir)")
+    prof.add_argument("--trace-dir", required=True)
+    prof.add_argument("--steps", type=int, default=1,
+                      help="steps captured in the trace (divides totals)")
+    prof.add_argument("--json", action="store_true", help="machine-readable output")
+
     prep = sub.add_parser("prepare-data")
     prep.add_argument("kind", choices=["brats", "egd"])
     prep.add_argument("--volumes", help="brats: flair_all.npy")
@@ -179,6 +215,20 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.pipelines.sanity_viz import plot_one_slice
 
         plot_one_slice(args.volumes, out_path=args.out, sample_idx=args.sample)
+        return 0
+
+    if args.cmd == "profile-attrib":
+        from vit_ae_plus_plus_tpu.utils.profile_tools import (
+            attribute_trace, format_table,
+        )
+
+        table = attribute_trace(args.trace_dir, steps=args.steps)
+        if args.json:
+            import json as _json
+
+            print(_json.dumps(table))
+        else:
+            print(format_table(table))
         return 0
 
     if args.cmd == "prepare-data":

@@ -34,6 +34,10 @@ class ViTConfig:
     attn_impl: str = "auto"
     ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
+    batch_shard_activations: bool = False  # pin the residual stream P('data')
+    # at every block entry (models/vit.py constrain_batch) — the FSDP path
+    # needs it so GSPMD gathers 1/data-sharded WEIGHTS at their use sites
+    # instead of resharding activations; requires an ambient jax.set_mesh
 
     @property
     def grid_size(self) -> int:
@@ -70,6 +74,10 @@ class MAEConfig:
     attn_impl: str = "auto"
     ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
+    batch_shard_activations: bool = False  # pin the residual stream P('data')
+    # at every block entry (models/vit.py constrain_batch) — the FSDP path
+    # needs it so GSPMD gathers 1/data-sharded WEIGHTS at their use sites
+    # instead of resharding activations; requires an ambient jax.set_mesh
 
     @property
     def grid_size(self) -> int:
@@ -147,6 +155,9 @@ class TrainConfig:
     # memory per device (parallel/pp.py); requires depth % pipe == 0
     pp_microbatches: Optional[int] = None  # GPipe microbatches per batch
     # (None: largest divisor of batch_size <= 4*pipe_devices)
+    fsdp: bool = False  # ZeRO/FSDP: shard params + AdamW moments 1/data over
+    # the 'data' axis (parallel/fsdp.py); composes with tensor parallelism,
+    # mutually exclusive with the pipeline (which has its own 1/S layout)
     start_epoch: int = 0
     resume: bool = False  # restore params+optimiser+epoch from the fold's
     # periodic checkpoint (reference --resume, misc.py:315-329)

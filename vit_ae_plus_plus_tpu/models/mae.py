@@ -59,7 +59,9 @@ class MaskedAutoencoderViT3D(nn.Module):
         )
         self.blocks = [
             block_cls(c.num_heads, c.mlp_ratio, attn_impl=c.attn_impl, dtype=dtype,
-                      ln_fusion=c.ln_fusion, name=f"blocks_{i}")
+                      ln_fusion=c.ln_fusion,
+                      batch_constraint=c.batch_shard_activations,
+                      name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
@@ -77,6 +79,7 @@ class MaskedAutoencoderViT3D(nn.Module):
                 attn_impl=c.attn_impl,
                 dtype=dtype,
                 ln_fusion=c.ln_fusion,
+                batch_constraint=c.batch_shard_activations,
                 name=f"decoder_blocks_{i}",
             )
             for i in range(c.decoder_depth)

@@ -97,6 +97,25 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+def constrain_batch(x):
+    """Pin a (B, ...) activation to P('data') under the ambient mesh (no-op
+    otherwise). The FSDP path (parallel/fsdp.py) turns this on at every Block
+    entry: with parameters 1/data-sharded, GSPMD would otherwise propagate the
+    WEIGHT shardings into the residual stream and move (much larger)
+    activations between layouts instead of all-gathering weights at their use
+    sites — observed directly in the compiled HLO (activation-shaped
+    all-gathers + all-to-alls) before this constraint existed."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "data" not in mesh.axis_names or mesh.shape["data"] <= 1:
+        return x
+    axis_types = dict(zip(mesh.axis_names, getattr(mesh, "axis_types", ())))
+    if axis_types.get("data") != jax.sharding.AxisType.Auto:
+        return x  # inside shard_map manual regions the spec would be illegal
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P("data"))
+
+
 def _use_fused_ln(mode: str, dim: int, dtype, kind: str = "qkv") -> bool:
     """Gate for the fused LN+Dense kernel (kernels/fused_ln_dense.py).
 
@@ -238,9 +257,12 @@ class Block(nn.Module):
     attn_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     ln_fusion: str = "auto"
+    batch_constraint: bool = False  # FSDP: see constrain_batch
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.batch_constraint:
+            x = constrain_batch(x)
         dim = x.shape[-1]
         fuse_qkv = _use_fused_ln(self.ln_fusion, dim, self.dtype, "qkv")
         fuse_mlp = _use_fused_ln(self.ln_fusion, dim, self.dtype, "mlp")
@@ -307,6 +329,7 @@ class VisionTransformer3D(nn.Module):
                 attn_dropout=c.attn_drop_rate,
                 dtype=_dt(c.dtype),
                 ln_fusion=c.ln_fusion,
+                batch_constraint=c.batch_shard_activations,
                 name=f"blocks_{i}",
             )
             for i in range(c.depth)

@@ -1,4 +1,8 @@
 from vit_ae_plus_plus_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from vit_ae_plus_plus_tpu.parallel.fsdp import (
+    fsdp_param_shardings,
+    shard_train_state_fsdp,
+)
 from vit_ae_plus_plus_tpu.parallel.pp import (
     auto_microbatches,
     from_pp_params,
@@ -15,6 +19,8 @@ from vit_ae_plus_plus_tpu.parallel.pp import (
 
 __all__ = [
     "make_mesh",
+    "fsdp_param_shardings",
+    "shard_train_state_fsdp",
     "shard_batch",
     "replicate",
     "auto_microbatches",

@@ -177,6 +177,25 @@ def pretrain_one_fold(
         print(f"Fold {fold_idx}: GPipe pipeline pipe={pipe} "
               f"data={mesh.shape['data']} microbatches={n_mb}")
     else:
+        state_shardings = None
+        if getattr(train_cfg, "fsdp", False) and mesh is not None:
+            # ZeRO/FSDP: params + AdamW moments committed 1/data-sharded
+            # (parallel/fsdp.py); GSPMD all-gathers leaves at their use sites
+            # and reduce-scatters grads — checkpoints unaffected (device_get
+            # in _host_params reassembles full leaves). The residual stream
+            # is pinned P('data') at every block entry (constrain_batch) so
+            # the partitioner moves weights, not activations; that constraint
+            # resolves the axis through the ambient mesh, hence set_mesh.
+            import dataclasses as _dc
+
+            from vit_ae_plus_plus_tpu.parallel.fsdp import shard_train_state_fsdp
+
+            mae_cfg = _dc.replace(mae_cfg, batch_shard_activations=True)
+            model = build_model(mae_cfg)
+            jax.set_mesh(mesh)
+            state, state_shardings = shard_train_state_fsdp(state, mesh)
+            print(f"Fold {fold_idx}: FSDP over data={mesh.shape['data']} "
+                  f"(params+moments 1/{mesh.shape['data']}-sharded)")
         step = make_train_step(
             model, mae_cfg.patch_size,
             mask_ratio=train_cfg.mask_ratio,
@@ -187,8 +206,9 @@ def pretrain_one_fold(
             loss_filters_dtype=train_cfg.loss_filters_dtype,
             mesh=mesh,
             donate=train_cfg.donate_state,
+            state_shardings=state_shardings,
         )
-        if mesh is not None:
+        if mesh is not None and state_shardings is None:
             state = replicate(state, mesh)
 
     def _host_params(params):
@@ -449,6 +469,14 @@ def pretrain_kfold(
 
     mesh = None
     pipe = getattr(train_cfg, "pipe_devices", 1) or 1
+    if getattr(train_cfg, "fsdp", False):
+        if pipe > 1:
+            raise ValueError(
+                "--fsdp is mutually exclusive with --pipe-devices: the "
+                "pipeline already keeps params+moments 1/S-sharded over 'pipe'"
+            )
+        if n_devices is None or n_devices <= 1:
+            raise ValueError("--fsdp needs a data mesh (--n-devices > 1)")
     if pipe > 1:
         from vit_ae_plus_plus_tpu.parallel.pp import make_pipeline_mesh
 
