@@ -135,6 +135,23 @@ def test_cli_extract_and_eval_classical(tmp_path):
     ]) == 0
     assert (feat / "test_features.npy").exists()
     assert (feat / "train_features.npy").exists()
+    # int8-quantized extraction (models/quant.py) from the same checkpoint:
+    # same shapes, features track the f32 ones closely
+    qfeat = tmp_path / "feats_int8"
+    assert cli.main([
+        "extract-features", "--data-path", str(out), "--work-dir", str(qfeat),
+        "--checkpoint", str(work / "checkpoints" / "fold_0" / "checkpoint-min_loss"),
+        "--model", "contr_mae_vit_tiny_patch4", "--volume-size", "16",
+        "--patch-size", "4", "--batch-size", "4", "--compute-dtype", "float32",
+        "--quantize", "int8",
+    ]) == 0
+    f32 = np.load(feat / "test_features.npy")
+    i8 = np.load(qfeat / "test_features.npy")
+    assert f32.shape == i8.shape
+    cos = (f32 * i8).sum(-1) / (
+        np.linalg.norm(f32, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.99, f"int8 extraction diverged: {cos.min()}"
     # classical SVM eval over the pretrain pipeline's fold features
     assert cli.main([
         "eval-classical", "--feature-dir", str(work / "ssl_features_dir"),

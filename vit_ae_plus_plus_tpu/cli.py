@@ -164,6 +164,9 @@ def main(argv=None):
         if name == "extract-features":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--only-test-split", action="store_true")
+            p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                           help="int8: serve extraction on the MXU's "
+                                "double-rate int8 path (models/quant.py)")
         if name in ("moco-kfold", "moco-extract"):
             p.add_argument("--moco-arch", default="vit", choices=["vit", "resnet"],
                            help="MoCo trunk (reference builder.py:101-124)")
@@ -315,6 +318,7 @@ def main(argv=None):
             data_cfg, args.checkpoint, args.work_dir, model_name=args.model,
             batch_size=args.batch_size, only_test_split=args.only_test_split,
             patch_size=args.patch_size, compute_dtype=args.compute_dtype,
+            quantize=getattr(args, "quantize", "none"),
         )
     elif args.cmd == "contrastive-train":
         from vit_ae_plus_plus_tpu.pipelines.contrastive import contrastive_train

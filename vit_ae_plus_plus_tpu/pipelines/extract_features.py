@@ -31,7 +31,11 @@ def extract_ssl_features(
     only_test_split: bool = False,
     patch_size: int = 8,
     compute_dtype: str = "float32",
+    quantize: str = "none",
 ) -> None:
+    """`quantize='int8'` routes inference through the int8 engine
+    (models/quant.py): per-channel int8 weights x per-token int8 activations
+    on the MXU's double-rate int8 path — the serving fast path."""
     mae_cfg = MODEL_ZOO[model_name](
         volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
         patch_size=patch_size, dtype=compute_dtype,
@@ -46,7 +50,15 @@ def extract_ssl_features(
 
     mae_params = load_params(checkpoint_path, _mae_params_template(mae_cfg, 0))
     params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
-    feat_step = make_feature_step(vit_model)
+    if quantize == "int8":
+        from vit_ae_plus_plus_tpu.models.quant import make_quant_feature_step
+
+        qstep = make_quant_feature_step(vit_cfg, params)
+        feat_step = lambda variables, batch: qstep(batch)  # noqa: E731
+    elif quantize == "none":
+        feat_step = make_feature_step(vit_model)
+    else:
+        raise ValueError(f"quantize must be 'none'|'int8', got {quantize!r}")
 
     if data_cfg.name == "egd" and not only_test_split:
         raise ValueError(
