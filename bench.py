@@ -194,6 +194,38 @@ def measure_e2e_device_resident(batch: int = 16, n_volumes: int = 160) -> float:
     return n * batch / (time.perf_counter() - t0)
 
 
+def measure_extraction(batch: int = 16, quantize: bool = False,
+                       iters: int = 20) -> float:
+    """Feature-extraction/serving throughput: encoder-only forward_features
+    on the flagship trunk (bf16), optionally through the int8 engine
+    (models/quant.py — the MXU int8 path is 2x bf16 nominal on v5e)."""
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+    from vit_ae_plus_plus_tpu.train.step import make_feature_step
+
+    mae_cfg = MODEL_ZOO["contr_mae_vit_base_patch16"](
+        volume_size=96, patch_size=8, in_chans=1, dtype="bfloat16"
+    )
+    vit_cfg = mae_cfg.encoder_vit_config(num_classes=2, global_pool=True)
+    model = build_model(vit_cfg)
+    v = jax.random.normal(jax.random.PRNGKey(0), (batch, 1, 96, 96, 96), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(1)}, v)["params"]
+    if quantize:
+        from vit_ae_plus_plus_tpu.models.quant import make_quant_feature_step
+
+        qstep = make_quant_feature_step(vit_cfg, params)
+        run = lambda: qstep(v)  # noqa: E731
+    else:
+        fstep = make_feature_step(model)
+        run = lambda: fstep({"params": params}, v)  # noqa: E731
+    out = run()
+    float(jnp.sum(out))  # compile+sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    float(jnp.sum(out))
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def _overlap_stall() -> float:
     """Framework-side proof of the loader->device_put->step pipeline: the
     consumer stall fraction over a synthetic slow dataset (the raw e2e number
@@ -262,6 +294,11 @@ def main():
             "streaming_overlap_stall_fraction": round(_overlap_stall(), 3),
             "e2e_device_resident_volumes_per_sec": round(
                 measure_e2e_device_resident(tuned_batch), 2
+            ),
+            # serving path: encoder-only inference, bf16 vs the int8 engine
+            "extraction_bf16_volumes_per_sec": round(measure_extraction(), 2),
+            "extraction_int8_volumes_per_sec": round(
+                measure_extraction(quantize=True), 2
             ),
         }
         print(json.dumps(details, indent=2), file=sys.stderr)
