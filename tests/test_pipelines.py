@@ -64,6 +64,56 @@ def test_pretrain_kfold_end_to_end(synthetic_brats, tmp_path):
             assert 0.0 <= stats["roc_auc_score"] <= 1.0
 
 
+def test_supervised_steps_ride_the_data_mesh():
+    """probe/finetune data parallelism (the TPU equivalent of the DDP wrap
+    the reference applies to exactly these paths, fine_tune_epoch.py:354-356):
+    sharded step == single-device step, mixup's flip partner crosses shards."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ae_plus_plus_tpu.configs import ViTConfig
+    from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D
+    from vit_ae_plus_plus_tpu.parallel import make_mesh, replicate, shard_batch
+    from vit_ae_plus_plus_tpu.pipelines.finetune import make_supervised_steps
+    from vit_ae_plus_plus_tpu.train import TrainState
+    import optax
+
+    cfg = ViTConfig(volume_size=16, patch_size=4, in_chans=1, embed_dim=32,
+                    depth=1, num_heads=2, num_classes=2, global_pool=True,
+                    attn_impl="xla", dtype="float32")
+    model = VisionTransformer3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 16, 16, 16))
+    labels = jnp.array([0, 1, 1, 0, 1, 0, 0, 1])
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    tx = optax.sgd(1e-2)
+
+    def mk_state():
+        # fresh buffers per state: the train steps donate their state arg
+        p = jax.tree.map(jnp.array, params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=p,
+                          batch_stats={}, opt_state=tx.init(p), tx=tx)
+
+    t1, e1 = make_supervised_steps(model, num_classes=2)
+    s1, m1 = t1(mk_state(), x, labels, jax.random.PRNGKey(3))
+    logits1, loss1 = e1(s1.params, x, labels)
+
+    mesh = make_mesh(data=4)
+    tm, em = make_supervised_steps(model, num_classes=2, mesh=mesh)
+    sm = replicate(mk_state(), mesh)
+    xb, lb = shard_batch(x, mesh), shard_batch(labels, mesh)
+    sm, mm = tm(sm, xb, lb, jax.random.PRNGKey(3))
+    logitsm, lossm = em(sm.params, xb, lb)
+    assert np.isclose(float(m1["loss"]), float(mm["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logitsm), np.asarray(logits1),
+                               atol=1e-4)
+    assert np.isclose(float(loss1), float(lossm), rtol=1e-5)
+
+    # mixup: the flipped partner lives on another shard (collective-permute)
+    tmx, _ = make_supervised_steps(model, num_classes=2, use_mixup=True, mesh=mesh)
+    smx, mmx = tmx(replicate(mk_state(), mesh), xb, lb, jax.random.PRNGKey(4))
+    assert np.isfinite(float(mmx["loss"]))
+
+
 def test_evaluate_results_thresholding():
     probs = np.array([0.9, 0.7, 0.1, 0.2, 0.64, 0.66])
     labels = np.array([1, 1, 0, 0, 0, 1])

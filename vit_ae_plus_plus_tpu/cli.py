@@ -278,6 +278,7 @@ def main(argv=None):
             data_cfg, train_cfg, args.work_dir, args.pretrain_dir, model_name=args.model,
             n_splits=args.n_splits, fix_backbone=(args.cmd == "probe-kfold"),
             use_mixup=args.use_mixup, eval_only=args.eval_only,
+            mesh=_data_mesh(args.n_devices),
         )
     elif args.cmd == "finetune":
         from vit_ae_plus_plus_tpu.pipelines.finetune import finetune_single
@@ -286,6 +287,7 @@ def main(argv=None):
             data_cfg, train_cfg, args.work_dir, args.checkpoint,
             model_name=args.model, fix_backbone=args.fix_backbone,
             use_mixup=args.use_mixup, eval_only=args.eval_only,
+            mesh=_data_mesh(args.n_devices),
         )
     elif args.cmd == "resnet-kfold":
         from vit_ae_plus_plus_tpu.pipelines.resnet_kfold import resnet_kfold

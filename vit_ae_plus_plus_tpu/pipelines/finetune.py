@@ -127,12 +127,20 @@ def make_supervised_steps(
     use_mixup: bool = False,
     mixup_alpha: float = 0.1,
     mixup_impl: str = "timm",
+    mesh=None,
 ):
     """(train_step, eval_step) for a classifier ViT.
 
     mixup_impl: 'timm' = the fine-tune reference's timm Mixup (flip-partner,
     shared lambda, label_smoothing=0.1 — fine_tune_epoch.py:366-368);
     'reference' = the probe reference's own MixUp3D (linear_projection.py:31-45).
+
+    `mesh`: data-parallel execution — batches/labels shard over 'data', state
+    replicated, gradient all-reduce by GSPMD. This is the TPU equivalent of
+    the DDP wrap the reference applies to exactly these two paths
+    (fine_tune_epoch.py:354-356, linear_projection.py:261-263); mixup's
+    flip/permutation partners cross shard boundaries inside the same compiled
+    program (a collective-permute, no host involvement).
     """
     cw = jnp.asarray(
         class_weights if class_weights is not None else np.ones(num_classes), jnp.float32
@@ -164,6 +172,17 @@ def make_supervised_steps(
         loss = weighted_ce(logits, labels, cw)
         return logits, loss
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return (
+            jax.jit(train_step, in_shardings=(repl, data, data, repl),
+                    out_shardings=(repl, repl), donate_argnums=(0,)),
+            jax.jit(eval_step, in_shardings=(repl, data, data),
+                    out_shardings=(data, repl)),
+        )
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
@@ -230,6 +249,7 @@ def finetune_single(
     layer_decay: float = 0.75,
     blr: float = 1e-3,
     eval_only: bool = False,
+    mesh=None,
 ):
     """Single-run fine-tune over the train/val/test splits.
 
@@ -288,9 +308,13 @@ def finetune_single(
                                   layer_decay=layer_decay)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
                        opt_state=tx.init(params), tx=tx)
+    if mesh is not None:
+        from vit_ae_plus_plus_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
     train_step, eval_step = make_supervised_steps(
         model, num_classes=data_cfg.num_classes, class_weights=class_weights,
-        use_mixup=use_mixup,
+        use_mixup=use_mixup, mesh=mesh,
     )
 
     tracker = BestModelTracker(os.path.join(work_dir, "checkpoints"))

@@ -54,6 +54,7 @@ def probe_kfold(
     folds=None,
     epochs: Optional[int] = None,
     eval_only: bool = False,
+    mesh=None,
 ) -> Dict:
     """Returns per-fold test stats for each best-model criterion.
 
@@ -114,11 +115,15 @@ def probe_kfold(
                                       layer_decay=layer_decay)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
                            opt_state=tx.init(params), tx=tx)
+        if mesh is not None:
+            from vit_ae_plus_plus_tpu.parallel import replicate
+
+            state = replicate(state, mesh)
         # the linear-projection reference uses its own MixUp3D here, not the
         # timm Mixup of the fine-tune script (linear_projection.py:31-45)
         train_step, eval_step = make_supervised_steps(
             model, num_classes=data_cfg.num_classes, class_weights=class_weights,
-            use_mixup=use_mixup, mixup_impl="reference",
+            use_mixup=use_mixup, mixup_impl="reference", mesh=mesh,
         )
 
         tracker = BestModelTracker(os.path.join(work_dir, "checkpoints"))
