@@ -379,6 +379,17 @@ def test_finetune_single_run(synthetic_brats, tmp_path):
     )
     assert "best_ft_model" in results
     assert 0.0 <= results["best_ft_model"]["roc_auc_score"] <= 1.0
+    # the reference's two TensorBoard channels exist and parse with the real
+    # tensorboard reader (fine_tune_epoch.py:271-272,416-419)
+    from tensorboard.backend.event_processing.event_file_loader import EventFileLoader
+
+    for chan, want in (("train_ft", {"loss", "lr", "ft/roc_auc_score", "ft/loss"}),
+                       ("val_ft", {"ft/roc_auc_score", "ft/loss"})):
+        d = str(tmp_path / "ft" / "logs" / chan)
+        f = os.path.join(d, sorted(os.listdir(d))[0])
+        tags = {v.tag for e in EventFileLoader(f).Load()
+                for v in getattr(e.summary, "value", [])}
+        assert want <= tags, f"{chan}: {tags}"
 
 
 def test_op_check_images(tmp_path):

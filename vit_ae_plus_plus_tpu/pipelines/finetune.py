@@ -319,16 +319,34 @@ def finetune_single(
 
     tracker = BestModelTracker(os.path.join(work_dir, "checkpoints"))
     jsonl = JsonlLogger(work_dir)
+    # the reference's two TensorBoard channels (fine_tune_epoch.py:271-272):
+    # per-iteration loss/lr at epoch_1000x into train_ft, per-epoch ft/*
+    # metrics into train_ft + val_ft — through the native event writer
+    from vit_ae_plus_plus_tpu.train.metrics import TBWriter
+
+    tb_train = TBWriter(os.path.join(work_dir, "logs", "train_ft"))
+    tb_val = TBWriter(os.path.join(work_dir, "logs", "val_ft"))
     rng = jax.random.PRNGKey(train_cfg.seed)
     val_loader = Loader(ds_val, train_cfg.batch_size, shuffle=False, drop_last=False)
+    n_iter = max(len(loader), 1)
     for epoch in range(0 if eval_only else train_cfg.epochs):
-        for aug, _orig, lab in loader:
+        for it, (aug, _orig, lab) in enumerate(loader):
             state, _m = train_step(state, aug, lab, rng)
+            # reference fine_tune_epoch.py:90-96 ('loss' all-reduce mean +
+            # max group lr at the epoch_1000x x-axis)
+            tb_train.scalars(
+                {"loss": float(_m["loss"]), "lr": float(sched(epoch * n_iter + it))},
+                epoch + it / n_iter,
+            )
         train_stats = evaluate(eval_step, state.params,
                                Loader(ds_train, train_cfg.batch_size, shuffle=False,
                                       drop_last=False), train_cfg.batch_size)
         val_stats = evaluate(eval_step, state.params, val_loader, train_cfg.batch_size)
         tracker.update(val_stats, jax.device_get(state.params))
+        tb_val.scalars_at({"ft/roc_auc_score": val_stats["roc_auc_score"],
+                           "ft/loss": val_stats["loss"]}, epoch)
+        tb_train.scalars_at({"ft/roc_auc_score": train_stats["roc_auc_score"],
+                             "ft/loss": train_stats["loss"]}, epoch)
         jsonl.write({**{f"train_val_{k}": v for k, v in train_stats.items()},
                      **{f"val_{k}": v for k, v in val_stats.items()}, "epoch": epoch})
 

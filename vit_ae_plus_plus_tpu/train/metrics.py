@@ -140,6 +140,12 @@ class TBWriter:
         for k, v in values.items():
             self._w.scalar(k, float(v), x)
 
+    def scalars_at(self, values: Dict[str, float], step: int):
+        """Plain-step x-axis (the reference's per-epoch fine-tune scalars,
+        fine_tune_epoch.py:416-419, use `epoch` directly, not epoch_1000x)."""
+        for k, v in values.items():
+            self._w.scalar(k, float(v), int(step))
+
     def images(self, images_nchw, tag: str = "op_check"):
         """Image grid (reference custom_operation_checks.py:49-52)."""
         from vit_ae_plus_plus_tpu.utils.tb_events import image_grid
