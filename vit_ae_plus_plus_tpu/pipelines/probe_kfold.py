@@ -130,12 +130,34 @@ def probe_kfold(
         rng = jax.random.PRNGKey(train_cfg.seed + fold_idx)
         val_loader = Loader(dataset_no_aug, train_cfg.batch_size, indices=val_ids,
                             shuffle=False, drop_last=False)
+        # the probe reference logs the same train_ft/val_ft TensorBoard
+        # channels as fine-tune AND evaluates the train split per epoch
+        # (linear_projection.py:212-213,302-303,321-324)
+        from vit_ae_plus_plus_tpu.train.metrics import TBWriter
+
+        tb_train = TBWriter(os.path.join(work_dir, "logs", f"fold_{fold_idx}", "train_ft"))
+        tb_val = TBWriter(os.path.join(work_dir, "logs", f"fold_{fold_idx}", "val_ft"))
+        train_eval_loader = Loader(dataset_no_aug, train_cfg.batch_size,
+                                   indices=train_ids, shuffle=False, drop_last=False)
+        n_iter = max(len(loader), 1)
         for epoch in range(0 if eval_only else epochs):
-            for aug, _orig, lab in loader:
+            for it, (aug, _orig, lab) in enumerate(loader):
                 state, m = train_step(state, aug, lab, rng)
+                tb_train.scalars(
+                    {"loss": float(m["loss"]),
+                     "lr": float(sched(epoch * n_iter + it))},
+                    epoch + it / n_iter,
+                )
+            train_stats = evaluate(eval_step, state.params, train_eval_loader,
+                                   train_cfg.batch_size)
             val_stats = evaluate(eval_step, state.params, val_loader, train_cfg.batch_size)
             tracker.update(val_stats, jax.device_get(state.params), fold=fold_idx)
-            jsonl.write({**{f"val_{k}": v for k, v in val_stats.items()},
+            tb_val.scalars_at({"ft/roc_auc_score": val_stats["roc_auc_score"],
+                               "ft/loss": val_stats["loss"]}, epoch)
+            tb_train.scalars_at({"ft/roc_auc_score": train_stats["roc_auc_score"],
+                                 "ft/loss": train_stats["loss"]}, epoch)
+            jsonl.write({**{f"train_val_{k}": v for k, v in train_stats.items()},
+                         **{f"val_{k}": v for k, v in val_stats.items()},
                          "epoch": epoch, "fold": fold_idx})
 
         # final test evaluation of the three best checkpoints
