@@ -328,10 +328,16 @@ def finetune_single(
     tb_val = TBWriter(os.path.join(work_dir, "logs", "val_ft"))
     rng = jax.random.PRNGKey(train_cfg.seed)
     val_loader = Loader(ds_val, train_cfg.batch_size, shuffle=False, drop_last=False)
+    from vit_ae_plus_plus_tpu.train.metrics import MetricLogger
+
     n_iter = max(len(loader), 1)
     for epoch in range(0 if eval_only else train_cfg.epochs):
-        for it, (aug, _orig, lab) in enumerate(loader):
+        logger = MetricLogger()
+        for it, (aug, _orig, lab) in enumerate(
+            logger.log_every(loader, header=f"FT Epoch [{epoch}]")
+        ):
             state, _m = train_step(state, aug, lab, rng)
+            logger.update(loss=float(_m["loss"]))
             # reference fine_tune_epoch.py:90-96 ('loss' all-reduce mean +
             # max group lr at the epoch_1000x x-axis)
             tb_train.scalars(

@@ -139,10 +139,16 @@ def probe_kfold(
         tb_val = TBWriter(os.path.join(work_dir, "logs", f"fold_{fold_idx}", "val_ft"))
         train_eval_loader = Loader(dataset_no_aug, train_cfg.batch_size,
                                    indices=train_ids, shuffle=False, drop_last=False)
+        from vit_ae_plus_plus_tpu.train.metrics import MetricLogger
+
         n_iter = max(len(loader), 1)
         for epoch in range(0 if eval_only else epochs):
-            for it, (aug, _orig, lab) in enumerate(loader):
+            logger = MetricLogger()
+            for it, (aug, _orig, lab) in enumerate(
+                logger.log_every(loader, header=f"Probe fold {fold_idx} Epoch [{epoch}]")
+            ):
                 state, m = train_step(state, aug, lab, rng)
+                logger.update(loss=float(m["loss"]))
                 tb_train.scalars(
                     {"loss": float(m["loss"]),
                      "lr": float(sched(epoch * n_iter + it))},
