@@ -330,6 +330,9 @@ def finetune_single(
     val_loader = Loader(ds_val, train_cfg.batch_size, shuffle=False, drop_last=False)
     from vit_ae_plus_plus_tpu.train.metrics import MetricLogger
 
+    # trainable-parameter count, requires_grad semantics (fine_tune_epoch.py:340)
+    trainable = params["head"] if fix_backbone else params
+    n_parameters = int(sum(x.size for x in jax.tree.leaves(trainable)))
     n_iter = max(len(loader), 1)
     for epoch in range(0 if eval_only else train_cfg.epochs):
         logger = MetricLogger()
@@ -354,7 +357,10 @@ def finetune_single(
         tb_train.scalars_at({"ft/roc_auc_score": train_stats["roc_auc_score"],
                              "ft/loss": train_stats["loss"]}, epoch)
         jsonl.write({**{f"train_val_{k}": v for k, v in train_stats.items()},
-                     **{f"val_{k}": v for k, v in val_stats.items()}, "epoch": epoch})
+                     **{f"val_{k}": v for k, v in val_stats.items()}, "epoch": epoch,
+                     # reference log_stats carries the trainable-param count
+                     # (fine_tune_epoch.py:424)
+                     "n_parameters": n_parameters})
 
     # final test evaluation of the three best checkpoints (fine_tune_epoch.py:436-443)
     test_loader = Loader(ds_test, train_cfg.batch_size, shuffle=False, drop_last=False)
