@@ -311,6 +311,12 @@ def finetune_single(
     if mesh is not None:
         from vit_ae_plus_plus_tpu.parallel import replicate
 
+        if train_cfg.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"--batch-size {train_cfg.batch_size} must divide by the data "
+                f"mesh ({mesh.shape['data']} devices): eval batches are padded "
+                "to batch_size and sharded over 'data'"
+            )
         state = replicate(state, mesh)
     train_step, eval_step = make_supervised_steps(
         model, num_classes=data_cfg.num_classes, class_weights=class_weights,

@@ -118,6 +118,12 @@ def probe_kfold(
         if mesh is not None:
             from vit_ae_plus_plus_tpu.parallel import replicate
 
+            if train_cfg.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"--batch-size {train_cfg.batch_size} must divide by the "
+                    f"data mesh ({mesh.shape['data']} devices): eval batches "
+                    "are padded to batch_size and sharded over 'data'"
+                )
             state = replicate(state, mesh)
         # the linear-projection reference uses its own MixUp3D here, not the
         # timm Mixup of the fine-tune script (linear_projection.py:31-45)
