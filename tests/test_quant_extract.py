@@ -61,6 +61,19 @@ def test_int8_features_track_f32():
     assert (np.argsort(d_f32, -1)[:, 1] == np.argsort(d_int8, -1)[:, 1]).all()
 
 
+def test_quant_feature_step_on_data_mesh():
+    """int8 extraction shards over 'data' like the f32 feature step."""
+    from vit_ae_plus_plus_tpu.parallel import make_mesh, shard_batch
+
+    _, params, x = _setup()
+    mesh = make_mesh(data=4)
+    step = make_quant_feature_step(CFG, params, mesh=mesh)
+    feats = step(shard_batch(x, mesh))
+    want = np.asarray(make_quant_feature_step(CFG, params)(x))
+    np.testing.assert_allclose(np.asarray(feats), want, atol=1e-5)
+    assert not feats.sharding.is_fully_replicated
+
+
 def test_quant_feature_step_jitted():
     _, params, x = _setup()
     step = make_quant_feature_step(CFG, params)
