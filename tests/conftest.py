@@ -24,6 +24,7 @@ if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
     flags = flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 os.environ["XLA_FLAGS"] = flags
 
+import pytest  # noqa: E402
 import jax  # noqa: E402
 
 # The env var alone is NOT enough here: the machine's sitecustomize registers
@@ -34,3 +35,21 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # single-core machine: persist compiled executables across test runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The FSDP pipelines use `jax.set_mesh` as the documented GLOBAL setter (the
+# ambient mesh powers models/vit.py constrain_batch); jax offers no public
+# un-set, so restore the pristine thread-local state after every test to keep
+# tests order-independent.
+from jax._src import config as _jconfig  # noqa: E402
+
+_PRISTINE_MESH_STATE = (
+    _jconfig.abstract_mesh_context_manager.get_local(),
+    _jconfig.device_context.get_local(),
+)
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    yield
+    _jconfig.abstract_mesh_context_manager.set_local(_PRISTINE_MESH_STATE[0])
+    _jconfig.device_context.set_local(_PRISTINE_MESH_STATE[1])

@@ -231,6 +231,30 @@ def test_moco_kfold_on_data_mesh(synthetic_brats, tmp_path):
     assert all(np.isfinite(r["min_loss"]) for r in results.values())
 
 
+def test_moco_kfold_fsdp(synthetic_brats, tmp_path):
+    """MoCo under FSDP: both encoder copies + LARS moments 1/4-sharded
+    (parallel/fsdp.py shard_moco_state_fsdp), full e2e through extraction."""
+    import jax
+    from vit_ae_plus_plus_tpu.parallel import make_mesh
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32")
+    results = moco_kfold(
+        data_cfg, train_cfg, str(tmp_path / "w"), n_splits=2,
+        moco_dim=16, moco_mlp_dim=64, epochs=1, warmup_epochs=1,
+        # embed 32 / mlp 64: large enough for min-size-free sharding checks
+        vit_overrides=dict(patch_size=4, embed_dim=32, depth=1, num_heads=4),
+        mesh=mesh, fsdp=True, fsdp_min_size=256,
+    )
+    assert all(np.isfinite(r["min_loss"]) for r in results.values())
+    f = np.load(tmp_path / "w" / "ssl_features_dir"
+                / "train_contrast_ssl_features_split_0.npy")
+    assert f.shape[1] == 32
+
+
 def test_contrastive_train_end_to_end(synthetic_brats, tmp_path):
     """Stage-2 contrastive ViT trainer (reference's dormant 2-view loop,
     utils/train_one_epoch.py:117-181)."""

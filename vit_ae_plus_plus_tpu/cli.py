@@ -167,6 +167,10 @@ def main(argv=None):
             p.add_argument("--quantize", default="none", choices=["none", "int8"],
                            help="int8: serve extraction on the MXU's "
                                 "double-rate int8 path (models/quant.py)")
+        if name == "moco-kfold":
+            p.add_argument("--fsdp", action="store_true",
+                           help="shard both MoCo encoders + LARS moments "
+                                "1/data over the mesh (parallel/fsdp.py)")
         if name in ("moco-kfold", "moco-extract"):
             p.add_argument("--moco-arch", default="vit", choices=["vit", "resnet"],
                            help="MoCo trunk (reference builder.py:101-124)")
@@ -302,6 +306,7 @@ def main(argv=None):
             arch=args.moco_arch, resnet_depth=args.resnet_depth,
             moco_dim=args.moco_dim, moco_mlp_dim=args.moco_mlp_dim,
             mesh=_data_mesh(args.n_devices),
+            fsdp=getattr(args, "fsdp", False),
         )
     elif args.cmd == "moco-extract":
         from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_extract

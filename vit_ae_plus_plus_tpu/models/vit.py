@@ -108,6 +108,8 @@ def constrain_batch(x):
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or "data" not in mesh.axis_names or mesh.shape["data"] <= 1:
         return x
+    if x.shape[0] % mesh.shape["data"]:
+        return x  # indivisible batch (e.g. a batch-1 init/template pass)
     axis_types = dict(zip(mesh.axis_names, getattr(mesh, "axis_types", ())))
     if axis_types.get("data") != jax.sharding.AxisType.Auto:
         return x  # inside shard_map manual regions the spec would be illegal

@@ -118,3 +118,37 @@ def shard_train_state_fsdp(state, mesh: Mesh,
     state = jax.tree.map(_commit, state)
     shardings = jax.tree.map(lambda x: x.sharding, state)
     return state, shardings
+
+
+def shard_moco_state_fsdp(state, mesh: Mesh,
+                          min_size: int = _MIN_SHARD_ELEMENTS):
+    """MoCoState variant (pipelines/moco_kfold.py): the base AND momentum
+    encoders share the same 1/data placement — MoCo keeps TWO full encoder
+    copies plus LARS moments, the largest per-replica state of any trainer
+    here (the reference's most distributed path, main_3d_moco_k_fold.py:
+    153-188, still replicates all of it per rank). The EMA update is
+    elementwise, so the momentum tree stays sharded through the step; BN
+    stats are tiny and stay replicated."""
+    param_sh = fsdp_param_shardings(state.params, mesh, min_size)
+    repl = NamedSharding(mesh, P())
+    params = jax.tree.map(jax.device_put, state.params, param_sh)
+    momentum = jax.tree.map(jax.device_put, state.momentum_params, param_sh)
+    opt_state = state.tx.init(params)
+    state = state.replace(
+        step=jax.device_put(state.step, repl),
+        params=params,
+        momentum_params=momentum,
+        batch_stats=jax.tree.map(lambda x: jax.device_put(x, repl), state.batch_stats),
+        momentum_batch_stats=jax.tree.map(
+            lambda x: jax.device_put(x, repl), state.momentum_batch_stats),
+        opt_state=opt_state,
+    )
+
+    def _commit(x):
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        return jax.device_put(x, repl)
+
+    state = jax.tree.map(_commit, state)
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    return state, shardings

@@ -75,7 +75,8 @@ class TwoCropsDataset:
         return v1, v2, label
 
 
-def make_moco_train_step(model, temperature: float = 1.0, mesh=None):
+def make_moco_train_step(model, temperature: float = 1.0, mesh=None,
+                         state_shardings=None):
     def step(state: MoCoState, x1, x2, m):
         def loss_fn(params):
             loss, new_bs = moco_loss(
@@ -108,13 +109,16 @@ def make_moco_train_step(model, temperature: float = 1.0, mesh=None):
         # data-parallel over the mesh, exactly as pretrain_kfold's step: the
         # reference's MoCo is its MOST distributed path (mp.spawn + DDP,
         # main_3d_moco_k_fold.py:153-188) — here the batch shards over 'data'
-        # and GSPMD emits the gradient/BN reductions
+        # and GSPMD emits the gradient/BN reductions. With `state_shardings`
+        # (parallel/fsdp.py shard_moco_state_fsdp) both encoder copies and
+        # the LARS moments stay 1/data-sharded through the step.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(step, in_shardings=(repl, data, data, repl),
-                       out_shardings=(repl, repl), donate_argnums=(0,))
+        st = state_shardings if state_shardings is not None else repl
+        return jax.jit(step, in_shardings=(st, data, data, repl),
+                       out_shardings=(st, repl), donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -157,8 +161,27 @@ def moco_kfold(
     arch: str = "vit",
     resnet_depth: int = 10,
     mesh=None,
+    fsdp: bool = False,
+    fsdp_min_size: Optional[int] = None,  # leaf-size sharding floor override
+    # (parallel/fsdp.py _MIN_SHARD_ELEMENTS; tests use tiny trunks)
 ) -> Dict:
     epochs = epochs if epochs is not None else train_cfg.epochs
+    if fsdp:
+        if mesh is None or mesh.shape.get("data", 1) <= 1:
+            raise ValueError("--fsdp needs a data mesh (--n-devices > 1)")
+        if train_cfg.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"--batch-size {train_cfg.batch_size} must divide by the data "
+                f"mesh ({mesh.shape['data']} devices) under --fsdp"
+            )
+        if arch != "vit":
+            raise ValueError("--fsdp is implemented for the ViT MoCo trunk; "
+                             "the ResNet trunk is small enough to replicate")
+        # pin the trunk's residual stream P('data') so the partitioner
+        # gathers the sharded weights, not activations (models/vit.py
+        # constrain_batch — resolved through the ambient mesh)
+        vit_overrides = {**(vit_overrides or {}), "batch_shard_activations": True}
+        jax.set_mesh(mesh)
     transforms = default_ssl_transforms()
     # two independently-augmented views: one dataset instance per view
     dataset_v1 = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
@@ -204,11 +227,22 @@ def moco_kfold(
             opt_state=tx.init(variables["params"]),
             tx=tx,
         )
-        if mesh is not None:
+        state_shardings = None
+        if fsdp:
+            from vit_ae_plus_plus_tpu.parallel.fsdp import (
+                _MIN_SHARD_ELEMENTS, shard_moco_state_fsdp,
+            )
+
+            state, state_shardings = shard_moco_state_fsdp(
+                state, mesh, fsdp_min_size or _MIN_SHARD_ELEMENTS)
+            print(f"Fold {fold_idx}: MoCo FSDP over data={mesh.shape['data']} "
+                  f"(both encoders + LARS moments 1/{mesh.shape['data']}-sharded)")
+        elif mesh is not None:
             from vit_ae_plus_plus_tpu.parallel import replicate
 
             state = replicate(state, mesh)
-        train_step = make_moco_train_step(model, temperature, mesh=mesh)
+        train_step = make_moco_train_step(model, temperature, mesh=mesh,
+                                          state_shardings=state_shardings)
 
         ckpt_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
                                  "checkpoint-min_loss")
