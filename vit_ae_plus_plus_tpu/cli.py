@@ -207,6 +207,20 @@ def main(argv=None):
                       help="steps captured in the trace (divides totals)")
     prof.add_argument("--json", action="store_true", help="machine-readable output")
 
+    exp = sub.add_parser(
+        "export-torch",
+        help="convert a trained MAE params checkpoint into a reference-layout "
+             "torch .pth state_dict (strict-loadable by the reference's "
+             "model/vit_autoenc.py) — the inverse of the .pth import shim")
+    exp.add_argument("--checkpoint", required=True,
+                     help="orbax flat params checkpoint (e.g. "
+                          "checkpoints/fold_0/checkpoint-min_loss)")
+    exp.add_argument("--out", required=True, help="output .pth path")
+    exp.add_argument("--model", default="contr_mae_vit_base_patch16")
+    exp.add_argument("--volume-size", type=int, default=96)
+    exp.add_argument("--in-channels", type=int, default=1)
+    exp.add_argument("--seed", type=int, default=42)
+
     prep = sub.add_parser("prepare-data")
     prep.add_argument("kind", choices=["brats", "egd"])
     prep.add_argument("--volumes", help="brats: flair_all.npy")
@@ -236,6 +250,29 @@ def main(argv=None):
             print(_json.dumps(table))
         else:
             print(format_table(table))
+        return 0
+
+    if args.cmd == "export-torch":
+        import torch
+
+        from vit_ae_plus_plus_tpu.models import MODEL_ZOO
+        from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
+        from vit_ae_plus_plus_tpu.train.checkpoint import (
+            export_mae_torch_state_dict,
+            load_params,
+            resolve_checkpoint_path,
+        )
+
+        mae_cfg = MODEL_ZOO[args.model](
+            volume_size=args.volume_size, in_chans=args.in_channels,
+        )
+        params = load_params(
+            resolve_checkpoint_path(args.checkpoint),
+            _mae_params_template(mae_cfg, args.seed),
+        )
+        sd = export_mae_torch_state_dict(params, mae_cfg)
+        torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, args.out)
+        print(json.dumps({"out": args.out, "tensors": len(sd)}))
         return 0
 
     if args.cmd == "prepare-data":
