@@ -1,0 +1,181 @@
+"""Serving subsystem: fixed-shape engine padding, dynamic batching under
+concurrency, and the HTTP front end — all on the tiny model, CPU."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_ae_plus_plus_tpu.models import MODEL_ZOO
+from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
+from vit_ae_plus_plus_tpu.serving import BatchingQueue, FeatureEngine, make_http_server
+from vit_ae_plus_plus_tpu.train.checkpoint import save_params
+
+VOL = 16
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    cfg = MODEL_ZOO["contr_mae_vit_tiny_patch4"](volume_size=VOL, in_chans=1)
+    template = _mae_params_template(cfg, 42)
+    rng = np.random.default_rng(3)
+    params = jax.tree.map(
+        lambda x: (rng.standard_normal(x.shape) * 0.05).astype(x.dtype), template
+    )
+    path = str(tmp_path_factory.mktemp("serve") / "ckpt")
+    save_params(path, params)
+    return path
+
+
+@pytest.fixture(scope="module")
+def engine(ckpt):
+    eng = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+    )
+    eng.warmup()
+    return eng
+
+
+def _vols(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(
+        (n, 1, VOL, VOL, VOL)
+    ).astype(np.float32)
+
+
+def test_engine_partial_batch_matches_full(engine):
+    """Padding must not leak into results: the first 2 rows of a full slab
+    equal a 2-volume (padded) request."""
+    vols = _vols(BATCH)
+    full = engine.infer(vols)
+    part = engine.infer(vols[:2])
+    np.testing.assert_allclose(part, full[:2], rtol=1e-5, atol=1e-6)
+    assert full.shape == (BATCH, engine.feature_dim)
+
+
+def test_engine_multi_slab(engine):
+    vols = _vols(2 * BATCH + 3, seed=1)
+    out = engine.infer(vols)
+    assert out.shape == (2 * BATCH + 3, engine.feature_dim)
+    np.testing.assert_allclose(
+        out[: BATCH], engine.infer(vols[:BATCH]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_engine_zscore_normalization(ckpt):
+    eng = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+        normalize="zscore",
+    )
+    vols = _vols(2, seed=2) * 7.5 + 3.0
+    want_in = (vols - vols.mean(axis=(-3, -2, -1), keepdims=True)) / vols.std(
+        axis=(-3, -2, -1), keepdims=True
+    )
+    base = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+    )
+    np.testing.assert_allclose(
+        eng.infer(vols), base.infer(want_in), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_engine_shape_validation(engine):
+    with pytest.raises(ValueError, match="expected"):
+        engine.infer(np.zeros((1, 2, VOL, VOL, VOL), np.float32))
+
+
+def test_batching_queue_concurrent_parity_and_fill(engine):
+    vols = _vols(2 * BATCH + 1, seed=4)
+    want = engine.infer(vols)
+    q = BatchingQueue(engine, max_wait_ms=20.0)
+    try:
+        results = [None] * len(vols)
+
+        def work(i):
+            results[i] = q.infer_one(vols[i])
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(len(vols))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(len(vols)):
+            np.testing.assert_allclose(results[i], want[i], rtol=1e-5, atol=1e-6,
+                                       err_msg=str(i))
+        stats = q.stats()
+        assert stats["total_requests"] == len(vols)
+        # concurrency must have produced multi-request slabs
+        assert stats["total_batches"] < len(vols)
+        assert 0 < stats["mean_batch_fill"] <= 1.0
+        assert stats["latency_p95_ms"] >= stats["latency_p50_ms"] > 0
+    finally:
+        q.close()
+
+
+def test_batching_queue_delivers_errors(engine):
+    q = BatchingQueue(engine, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError):
+            q.infer_one(np.zeros((2, VOL, VOL, VOL), np.float32))  # wrong C
+        # the worker must survive an erroring slab
+        out = q.infer_one(_vols(1)[0])
+        assert out.shape == (engine.feature_dim,)
+    finally:
+        q.close()
+
+
+def test_http_server_end_to_end(engine):
+    q = BatchingQueue(engine, max_wait_ms=5.0)
+    server = make_http_server(q, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert b"ok" in r.read()
+
+        vols = _vols(3, seed=5)
+        buf = io.BytesIO()
+        np.save(buf, vols, allow_pickle=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            feats = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        np.testing.assert_allclose(feats, engine.infer(vols), rtol=1e-5, atol=1e-6)
+
+        # single unbatched volume body also accepted
+        buf = io.BytesIO()
+        np.save(buf, vols[0], allow_pickle=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            one = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        assert one.shape == (1, engine.feature_dim)
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            import json
+
+            stats = json.loads(r.read())
+        assert stats["total_requests"] >= 4
+
+        # malformed body -> 400, not a dead server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=b"not-an-npy", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert b"ok" in r.read()
+    finally:
+        server.shutdown()
+        q.close()

@@ -207,6 +207,30 @@ def main(argv=None):
                       help="steps captured in the trace (divides totals)")
     prof.add_argument("--json", action="store_true", help="machine-readable output")
 
+    srv = sub.add_parser(
+        "serve",
+        help="dynamic-batching HTTP feature-inference server (serving.py): "
+             "POST /features with .npy volumes, GET /healthz, GET /stats")
+    srv.add_argument("--checkpoint", required=True,
+                     help="orbax flat MAE params checkpoint")
+    srv.add_argument("--model", default="contr_mae_vit_base_patch16")
+    srv.add_argument("--volume-size", type=int, default=96)
+    srv.add_argument("--in-channels", type=int, default=1)
+    srv.add_argument("--patch-size", type=int, default=8)
+    srv.add_argument("--batch-size", type=int, default=8,
+                     help="serving slab size (compiled once; requests are "
+                          "dynamic-batched and padded to it)")
+    srv.add_argument("--compute-dtype", default="bfloat16",
+                     choices=["float32", "bfloat16"])
+    srv.add_argument("--quantize", default="none", choices=["none", "int8"])
+    srv.add_argument("--normalize", default="none", choices=["none", "zscore"],
+                     help="zscore: per-channel z-score each request volume "
+                          "(the datasets' semantics)")
+    srv.add_argument("--max-wait-ms", type=float, default=5.0,
+                     help="dynamic-batching gather window")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8000)
+
     exp = sub.add_parser(
         "export-torch",
         help="convert a trained MAE params checkpoint into a reference-layout "
@@ -250,6 +274,22 @@ def main(argv=None):
             print(_json.dumps(table))
         else:
             print(format_table(table))
+        return 0
+
+    if args.cmd == "serve":
+        from vit_ae_plus_plus_tpu.serving import serve
+        from vit_ae_plus_plus_tpu.train.checkpoint import resolve_checkpoint_path
+        from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        serve(
+            resolve_checkpoint_path(args.checkpoint), model_name=args.model,
+            volume_size=args.volume_size, in_chans=args.in_channels,
+            patch_size=args.patch_size, batch_size=args.batch_size,
+            compute_dtype=args.compute_dtype, quantize=args.quantize,
+            normalize=args.normalize, max_wait_ms=args.max_wait_ms,
+            host=args.host, port=args.port,
+        )
         return 0
 
     if args.cmd == "export-torch":
