@@ -131,6 +131,29 @@ def test_batching_queue_delivers_errors(engine):
         q.close()
 
 
+def test_engine_on_data_mesh_matches_single_device(ckpt, engine):
+    """Scale-out serving: slabs shard over the mesh 'data' axis and match
+    the single-device engine exactly."""
+    from vit_ae_plus_plus_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=8)
+    eng = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=8, compute_dtype="float32",
+        mesh=mesh,
+    )
+    vols = _vols(11, seed=6)  # one full + one padded slab
+    np.testing.assert_allclose(
+        eng.infer(vols), engine.infer(vols), rtol=1e-5, atol=1e-6
+    )
+    with pytest.raises(ValueError, match="divide"):
+        FeatureEngine(
+            ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+            in_chans=1, patch_size=4, batch_size=6, compute_dtype="float32",
+            mesh=mesh,
+        )
+
+
 def test_http_server_end_to_end(engine):
     q = BatchingQueue(engine, max_wait_ms=5.0)
     server = make_http_server(q, host="127.0.0.1", port=0)

@@ -228,6 +228,9 @@ def main(argv=None):
                           "(the datasets' semantics)")
     srv.add_argument("--max-wait-ms", type=float, default=5.0,
                      help="dynamic-batching gather window")
+    srv.add_argument("--n-devices", type=int, default=None,
+                     help="shard serving slabs over a 'data' mesh of this "
+                          "many chips (batch size must divide it)")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
 
@@ -282,13 +285,18 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        mesh = None
+        if args.n_devices and args.n_devices > 1:
+            from vit_ae_plus_plus_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.n_devices)
         serve(
             resolve_checkpoint_path(args.checkpoint), model_name=args.model,
             volume_size=args.volume_size, in_chans=args.in_channels,
             patch_size=args.patch_size, batch_size=args.batch_size,
             compute_dtype=args.compute_dtype, quantize=args.quantize,
             normalize=args.normalize, max_wait_ms=args.max_wait_ms,
-            host=args.host, port=args.port,
+            host=args.host, port=args.port, mesh=mesh,
         )
         return 0
 

@@ -52,7 +52,11 @@ class FeatureEngine:
         compute_dtype: str = "bfloat16",
         quantize: str = "none",
         normalize: str = "none",
+        mesh=None,
     ):
+        """`mesh`: an optional ('data', ...) jax.sharding.Mesh — serving slabs
+        shard over its 'data' axis (scale-out serving across chips; the slab
+        batch size must divide the axis)."""
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
         from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
         from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
@@ -75,17 +79,29 @@ class FeatureEngine:
         mae_params = load_params(checkpoint_path, _mae_params_template(mae_cfg, 0))
         params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
 
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"serving batch_size {batch_size} must divide the mesh's "
+                    f"data axis ({n_data})"
+                )
         if quantize == "int8":
             from vit_ae_plus_plus_tpu.models.quant import make_quant_feature_step
 
-            qstep = make_quant_feature_step(vit_cfg, params)
+            qstep = make_quant_feature_step(vit_cfg, params, mesh=mesh)
             self._step = lambda batch: qstep(batch)
         elif quantize == "none":
-            fstep = make_feature_step(vit_model)
+            fstep = make_feature_step(vit_model, mesh=mesh)
+            if mesh is not None:
+                from vit_ae_plus_plus_tpu.parallel.mesh import replicate
+
+                params = replicate(params, mesh)
             variables = {"params": params}
             self._step = lambda batch: fstep(variables, batch)
         else:
             raise ValueError(f"quantize must be 'none'|'int8', got {quantize!r}")
+        self.mesh = mesh
 
         self.batch_size = int(batch_size)
         self.volume_shape = (in_chans, s, s, s)
@@ -311,12 +327,14 @@ def serve(
     max_wait_ms: float = 5.0,
     host: str = "127.0.0.1",
     port: int = 8000,
+    mesh=None,
 ):
     """Build the engine, warm the serving shape, run the HTTP server."""
     engine = FeatureEngine(
         checkpoint_path, model_name=model_name, volume_size=volume_size,
         in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
         compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
+        mesh=mesh,
     )
     t = engine.warmup()
     print(f"serving shape compiled in {t:.1f}s "
