@@ -226,6 +226,75 @@ def measure_extraction(batch: int = 16, quantize: bool = False,
     return batch * iters / (time.perf_counter() - t0)
 
 
+def measure_serving(batch: int = 16, seconds: float = 8.0, clients: int = 32,
+                    model: str = "contr_mae_vit_base_patch16",
+                    volume: int = 96, patch: int = 8) -> dict:
+    """Online-serving numbers through the full serving stack (engine +
+    dynamic batcher): sequential single-request p50 latency, and saturated
+    concurrent throughput + latency percentiles. NOTE: every request pays a
+    host->device volume transfer — on the axon dev box that path is
+    tunnel-bound (~45 MB/s), so these numbers are a floor; a real TPU-VM's
+    DMA moves the 3.4 MB volume in <1 ms."""
+    import threading
+
+    from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+    from vit_ae_plus_plus_tpu.serving import BatchingQueue, FeatureEngine
+
+    mae_cfg = MODEL_ZOO[model](
+        volume_size=volume, patch_size=patch, in_chans=1, dtype="bfloat16"
+    )
+    mae = build_model(mae_cfg)
+    v0 = jnp.zeros((1, 1, volume, volume, volume), jnp.float32)
+    mae_params = mae.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        v0, v0 if mae_cfg.contrastive else None,
+    )["params"]
+    engine = FeatureEngine(
+        None, model_name=model, volume_size=volume, in_chans=1,
+        patch_size=patch, batch_size=batch, compute_dtype="bfloat16",
+        mae_params=mae_params,
+    )
+    engine.warmup()
+    vol = np.random.default_rng(0).standard_normal(
+        (1, volume, volume, volume)
+    ).astype(np.float32)
+
+    queue = BatchingQueue(engine, max_wait_ms=5.0)
+    try:
+        lat = []
+        for _ in range(10):  # unloaded single-request latency
+            t0 = time.perf_counter()
+            queue.infer_one(vol)
+            lat.append(time.perf_counter() - t0)
+        p50_single = sorted(lat)[len(lat) // 2]
+
+        stop = time.perf_counter() + seconds
+        counts = [0] * clients
+
+        def client(i):
+            while time.perf_counter() < stop:
+                queue.infer_one(vol)
+                counts[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.perf_counter() - t0
+        stats = queue.stats()
+        return {
+            "serving_single_p50_ms": round(p50_single * 1e3, 1),
+            "serving_concurrent_volumes_per_sec": round(sum(counts) / elapsed, 2),
+            "serving_concurrent_p50_ms": stats["latency_p50_ms"],
+            "serving_concurrent_p95_ms": stats["latency_p95_ms"],
+            "serving_mean_batch_fill": round(stats["mean_batch_fill"], 3),
+        }
+    finally:
+        queue.close()
+
+
 def _overlap_stall() -> float:
     """Framework-side proof of the loader->device_put->step pipeline: the
     consumer stall fraction over a synthetic slow dataset (the raw e2e number
@@ -300,6 +369,9 @@ def main():
             "extraction_int8_volumes_per_sec": round(
                 measure_extraction(quantize=True), 2
             ),
+            # online serving through the dynamic batcher (serving.py) — each
+            # request pays a per-volume H2D; tunnel-bound on this dev box
+            **measure_serving(),
         }
         print(json.dumps(details, indent=2), file=sys.stderr)
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:

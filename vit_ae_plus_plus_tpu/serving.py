@@ -43,7 +43,7 @@ class FeatureEngine:
 
     def __init__(
         self,
-        checkpoint_path: str,
+        checkpoint_path: Optional[str],
         model_name: str = "contr_mae_vit_base_patch16",
         volume_size: int = 96,
         in_chans: int = 1,
@@ -53,10 +53,12 @@ class FeatureEngine:
         quantize: str = "none",
         normalize: str = "none",
         mesh=None,
+        mae_params=None,
     ):
         """`mesh`: an optional ('data', ...) jax.sharding.Mesh — serving slabs
         shard over its 'data' axis (scale-out serving across chips; the slab
-        batch size must divide the axis)."""
+        batch size must divide the axis). `mae_params` bypasses the
+        checkpoint load with an in-memory MAE param tree (benchmarks)."""
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
         from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
         from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
@@ -76,7 +78,10 @@ class FeatureEngine:
         s = volume_size
         sample = jnp.zeros((1, in_chans, s, s, s), jnp.float32)
         vit_vars = vit_model.init({"params": jax.random.PRNGKey(0)}, sample)
-        mae_params = load_params(checkpoint_path, _mae_params_template(mae_cfg, 0))
+        if mae_params is None:
+            if checkpoint_path is None:
+                raise ValueError("need checkpoint_path or mae_params")
+            mae_params = load_params(checkpoint_path, _mae_params_template(mae_cfg, 0))
         params = mae_params_to_vit(mae_params, dict(vit_vars["params"]), mae_cfg, vit_cfg)
 
         if mesh is not None:
