@@ -154,6 +154,95 @@ def test_engine_on_data_mesh_matches_single_device(ckpt, engine):
         )
 
 
+@pytest.fixture(scope="module")
+def ft_work_dir(tmp_path_factory):
+    """A finetune-kfold-shaped work dir: 2 per-fold best classifier ckpts."""
+    cfg = MODEL_ZOO["contr_mae_vit_tiny_patch4"](volume_size=VOL, in_chans=1)
+    vit_cfg = cfg.encoder_vit_config(num_classes=2, global_pool=True)
+    from vit_ae_plus_plus_tpu.models import build_model
+
+    model = build_model(vit_cfg)
+    v = jnp.zeros((1, 1, VOL, VOL, VOL))
+    work = tmp_path_factory.mktemp("ftwork")
+    (work / "checkpoints").mkdir()
+    params_list = []
+    for fold in range(2):
+        params = model.init({"params": jax.random.PRNGKey(fold)}, v)["params"]
+        params = jax.tree.map(
+            lambda x, f=fold: x + 0.01 * (f + 1) * np.sign(
+                np.random.default_rng(f).standard_normal(x.shape)
+            ).astype(x.dtype),
+            params,
+        )
+        save_params(str(work / "checkpoints" / f"checkpoint-best_ft_model_{fold}"),
+                    jax.device_get(params))
+        params_list.append(jax.device_get(params))
+    return str(work), params_list
+
+
+def test_classifier_ensemble_is_fold_mean_softmax(ft_work_dir):
+    from vit_ae_plus_plus_tpu.serving import ClassifierEngine
+
+    work, params_list = ft_work_dir
+    common = dict(model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+                  in_chans=1, patch_size=4, batch_size=BATCH,
+                  compute_dtype="float32")
+    ens = ClassifierEngine.from_work_dir(work, **common)
+    assert ens.num_folds == 2
+    vols = _vols(3, seed=7)
+    probs = ens.infer(vols)
+    assert probs.shape == (3, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    # ensemble == mean of the single-fold engines
+    singles = [
+        ClassifierEngine(None, vit_params_list=[p], **common).infer(vols)
+        for p in params_list
+    ]
+    np.testing.assert_allclose(
+        probs, np.mean(singles, axis=0), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_classifier_http_predict(ft_work_dir):
+    import json
+
+    from vit_ae_plus_plus_tpu.serving import ClassifierEngine
+
+    work, _ = ft_work_dir
+    eng = ClassifierEngine.from_work_dir(
+        work, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+    )
+    q = BatchingQueue(eng, max_wait_ms=5.0)
+    server = make_http_server(classifier_queue=q, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        vols = _vols(2, seed=8)
+        buf = io.BytesIO()
+        np.save(buf, vols, allow_pickle=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["num_folds"] == 2
+        np.testing.assert_allclose(
+            np.asarray(out["probs"]), eng.infer(vols), rtol=1e-5, atol=1e-6
+        )
+        assert out["pred"] == list(np.asarray(out["probs"]).argmax(-1))
+        # /features is not served on a classifier-only server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
+        q.close()
+
+
 def test_http_server_end_to_end(engine):
     q = BatchingQueue(engine, max_wait_ms=5.0)
     server = make_http_server(q, host="127.0.0.1", port=0)

@@ -212,7 +212,20 @@ def main(argv=None):
         help="dynamic-batching HTTP feature-inference server (serving.py): "
              "POST /features with .npy volumes, GET /healthz, GET /stats")
     srv.add_argument("--checkpoint", required=True,
-                     help="orbax flat MAE params checkpoint")
+                     help="orbax flat MAE params checkpoint; for "
+                          "--task classify: fine-tuned classifier "
+                          "checkpoint(s) (comma-separated) or a "
+                          "finetune-kfold work dir (fold ensemble)")
+    srv.add_argument("--task", default="features",
+                     choices=["features", "classify"],
+                     help="features: POST /features from an MAE ckpt; "
+                          "classify: POST /predict (fold-mean softmax "
+                          "ensemble) from fine-tuned classifier ckpts")
+    srv.add_argument("--num-classes", type=int, default=2)
+    srv.add_argument("--ensemble-criterion", default="ft",
+                     choices=["ft", "spec", "sens"],
+                     help="which per-fold best model to ensemble when "
+                          "--checkpoint is a finetune work dir")
     srv.add_argument("--model", default="contr_mae_vit_base_patch16")
     srv.add_argument("--volume-size", type=int, default=96)
     srv.add_argument("--in-channels", type=int, default=1)
@@ -290,13 +303,18 @@ def main(argv=None):
             from vit_ae_plus_plus_tpu.parallel import make_mesh
 
             mesh = make_mesh(data=args.n_devices)
+        ckpt = args.checkpoint
+        if "," not in ckpt:  # (resolve passes local paths through untouched)
+            ckpt = resolve_checkpoint_path(ckpt)
         serve(
-            resolve_checkpoint_path(args.checkpoint), model_name=args.model,
+            ckpt, model_name=args.model,
             volume_size=args.volume_size, in_chans=args.in_channels,
             patch_size=args.patch_size, batch_size=args.batch_size,
             compute_dtype=args.compute_dtype, quantize=args.quantize,
             normalize=args.normalize, max_wait_ms=args.max_wait_ms,
             host=args.host, port=args.port, mesh=mesh,
+            task=args.task, num_classes=args.num_classes,
+            ensemble_criterion=args.ensemble_criterion,
         )
         return 0
 

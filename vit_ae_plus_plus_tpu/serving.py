@@ -34,7 +34,52 @@ import jax
 import jax.numpy as jnp
 
 
-class FeatureEngine:
+class _SlabEngine:
+    """Shared fixed-shape slab machinery: per-channel z-score, padding every
+    request to the one compiled ``batch_size``, serialized device dispatch.
+    Subclasses set ``_step``, ``batch_size``, ``volume_shape``, ``normalize``,
+    ``_lock``."""
+
+    def _normalize(self, v: np.ndarray) -> np.ndarray:
+        if self.normalize == "zscore":
+            # per-channel z-score over spatial dims (data/brats.py:26-32 /
+            # egd.py:44-47 semantics; identical for C=1)
+            mean = v.mean(axis=(-3, -2, -1), keepdims=True)
+            std = v.std(axis=(-3, -2, -1), keepdims=True)
+            v = (v - mean) / np.maximum(std, 1e-8)
+        return v
+
+    def warmup(self) -> float:
+        """Compile the serving shape; returns compile+run seconds."""
+        t0 = time.time()
+        slab = np.zeros((self.batch_size, *self.volume_shape), np.float32)
+        np.asarray(self._step(jnp.asarray(slab)))
+        return time.time() - t0
+
+    def infer(self, volumes: np.ndarray) -> np.ndarray:
+        """(N, C, S, S, S) -> (N, out_dim) float32, any N >= 1 (slabs of
+        ``batch_size`` padded with repeats — static shapes, no recompiles)."""
+        volumes = np.asarray(volumes, np.float32)
+        if volumes.shape[1:] != self.volume_shape:
+            raise ValueError(
+                f"expected (N, {', '.join(map(str, self.volume_shape))}), "
+                f"got {volumes.shape}"
+            )
+        volumes = self._normalize(volumes)
+        outs = []
+        b = self.batch_size
+        with self._lock:
+            for i in range(0, volumes.shape[0], b):
+                chunk = volumes[i:i + b]
+                n = chunk.shape[0]
+                if n < b:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[:1], b - n, axis=0)])
+                out = self._step(jnp.asarray(chunk))
+                outs.append(np.asarray(out[:n], dtype=np.float32))
+        return np.concatenate(outs)
+
+
+class FeatureEngine(_SlabEngine):
     """Checkpoint -> fixed-shape jitted ``forward_features``.
 
     Mirrors the extraction pipeline's checkpoint surgery (MAE params grafted
@@ -114,43 +159,123 @@ class FeatureEngine:
         self.feature_dim = mae_cfg.embed_dim
         self._lock = threading.Lock()  # jax dispatch: one slab at a time
 
-    def _normalize(self, v: np.ndarray) -> np.ndarray:
-        if self.normalize == "zscore":
-            # per-channel z-score over spatial dims (data/brats.py:26-32 /
-            # egd.py:44-47 semantics; identical for C=1)
-            mean = v.mean(axis=(-3, -2, -1), keepdims=True)
-            std = v.std(axis=(-3, -2, -1), keepdims=True)
-            v = (v - mean) / np.maximum(std, 1e-8)
-        return v
 
-    def warmup(self) -> float:
-        """Compile the serving shape; returns compile+run seconds."""
-        t0 = time.time()
-        slab = np.zeros((self.batch_size, *self.volume_shape), np.float32)
-        np.asarray(self._step(jnp.asarray(slab)))
-        return time.time() - t0
+class ClassifierEngine(_SlabEngine):
+    """Fine-tuned classifier serving, optionally a k-fold ENSEMBLE.
 
-    def infer(self, volumes: np.ndarray) -> np.ndarray:
-        """(N, C, S, S, S) -> (N, D) float32 features, any N >= 1 (slabs of
-        ``batch_size`` padded with repeats — static shapes, no recompiles)."""
-        volumes = np.asarray(volumes, np.float32)
-        if volumes.shape[1:] != self.volume_shape:
-            raise ValueError(
-                f"expected (N, {', '.join(map(str, self.volume_shape))}), "
-                f"got {volumes.shape}"
+    Loads one or more probe/fine-tune best-model checkpoints (flat ViT param
+    dumps from pipelines/finetune.py::BestModelTracker) and serves class
+    probabilities. ONE jitted step covers every fold — params are a step
+    argument, so swapping checkpoints is free (no recompiles). Ensemble
+    probabilities are the fold-mean softmax: the production analogue of the
+    reference's k-fold protocol, which reports fold-mean metrics
+    (evaluation_k_fold_brats.py:74-77)."""
+
+    def __init__(
+        self,
+        checkpoint_paths,
+        model_name: str = "contr_mae_vit_base_patch16",
+        volume_size: int = 96,
+        in_chans: int = 1,
+        patch_size: int = 8,
+        batch_size: int = 8,
+        num_classes: int = 2,
+        compute_dtype: str = "bfloat16",
+        normalize: str = "none",
+        mesh=None,
+        vit_params_list=None,
+    ):
+        from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
+        from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+
+        if normalize not in ("none", "zscore"):
+            raise ValueError(f"normalize must be 'none'|'zscore', got {normalize!r}")
+        if isinstance(checkpoint_paths, str):
+            checkpoint_paths = [checkpoint_paths]
+        mae_cfg = MODEL_ZOO[model_name](
+            volume_size=volume_size, in_chans=in_chans, patch_size=patch_size,
+            dtype=compute_dtype,
+        )
+        vit_cfg = mae_cfg.encoder_vit_config(
+            num_classes=num_classes, global_pool=True
+        )
+        model = build_model(vit_cfg)
+        s = volume_size
+        sample = jnp.zeros((1, in_chans, s, s, s), jnp.float32)
+        template = jax.tree.map(
+            lambda sd: np.zeros(sd.shape, sd.dtype),
+            jax.eval_shape(
+                lambda: model.init({"params": jax.random.PRNGKey(0)}, sample)
+            )["params"],
+        )
+        if vit_params_list is None:
+            if not checkpoint_paths:
+                raise ValueError("need checkpoint_paths or vit_params_list")
+            vit_params_list = [load_params(p, template) for p in checkpoint_paths]
+        self._params_list = [{"params": p} for p in vit_params_list]
+
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"serving batch_size {batch_size} must divide the mesh's "
+                    f"data axis ({n_data})"
+                )
+            from vit_ae_plus_plus_tpu.parallel.mesh import replicate
+
+            self._params_list = [replicate(v, mesh) for v in self._params_list]
+
+        def probs_fn(variables, batch):
+            logits = model.apply(variables, batch)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._probs = jax.jit(probs_fn, in_shardings=(repl, data),
+                                  out_shardings=data)
+        else:
+            self._probs = jax.jit(probs_fn)
+        # fold-mean over the ensemble, computed inside the slab step
+        self._step = lambda batch: sum(
+            self._probs(v, batch) for v in self._params_list
+        ) / len(self._params_list)
+
+        self.mesh = mesh
+        self.batch_size = int(batch_size)
+        self.volume_shape = (in_chans, s, s, s)
+        self.normalize = normalize
+        self.num_classes = num_classes
+        self.num_folds = len(self._params_list)
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_work_dir(cls, work_dir: str, criterion: str = "ft", **kwargs):
+        """Collect a finetune-kfold work dir's per-fold best checkpoints
+        (checkpoints/checkpoint-best_{criterion}_model_{fold}) into one
+        ensemble engine. `criterion`: 'ft' (roc_auc) | 'spec' | 'sens'."""
+        import glob
+        import os
+        import re
+
+        pattern = os.path.join(
+            work_dir, "checkpoints", f"checkpoint-best_{criterion}_model_*"
+        )
+        paths = sorted(
+            glob.glob(pattern),
+            key=lambda p: int(re.search(r"_(\d+)$", p).group(1)),
+        )
+        if not paths:
+            single = os.path.join(
+                work_dir, "checkpoints", f"checkpoint-best_{criterion}_model"
             )
-        volumes = self._normalize(volumes)
-        outs = []
-        b = self.batch_size
-        with self._lock:
-            for i in range(0, volumes.shape[0], b):
-                chunk = volumes[i:i + b]
-                n = chunk.shape[0]
-                if n < b:
-                    chunk = np.concatenate([chunk, np.repeat(chunk[:1], b - n, axis=0)])
-                out = self._step(jnp.asarray(chunk))
-                outs.append(np.asarray(out[:n], dtype=np.float32))
-        return np.concatenate(outs)
+            if os.path.exists(single):
+                paths = [single]
+        if not paths:
+            raise FileNotFoundError(f"no checkpoints matching {pattern}")
+        return cls(paths, **kwargs)
 
 
 class _Pending:
@@ -259,13 +384,31 @@ class BatchingQueue:
         self._worker.join(timeout=10)
 
 
-def make_http_server(queue: BatchingQueue, host: str = "127.0.0.1", port: int = 8000):
-    """ThreadingHTTPServer over a BatchingQueue.
+def make_http_server(queue: Optional[BatchingQueue] = None,
+                     host: str = "127.0.0.1", port: int = 8000,
+                     classifier_queue: Optional[BatchingQueue] = None):
+    """ThreadingHTTPServer over BatchingQueue(s).
 
     POST /features — body: ``.npy`` bytes of one (C,S,S,S) volume or an
-    (N,C,S,S,S) stack; response: ``.npy`` bytes of (N,D) float32 features.
+    (N,C,S,S,S) stack; response: ``.npy`` bytes of (N,D) float32 features
+    (requires `queue` over a FeatureEngine).
+    POST /predict — same body; response: JSON {probs, pred, num_folds}
+    (requires `classifier_queue` over a ClassifierEngine).
     GET /healthz — liveness; GET /stats — batching statistics JSON."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def _gather(q: BatchingQueue, arr: np.ndarray) -> np.ndarray:
+        # submit the whole stack before waiting so it batches as one
+        # (or a few) slabs rather than serialising volume-by-volume
+        pendings = [q.submit(v) for v in arr]
+        out = []
+        for p in pendings:
+            if not p.event.wait(300):
+                raise TimeoutError("inference timed out")
+            if p.error is not None:
+                raise p.error
+            out.append(p.result)
+        return np.stack(out)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default; stats has the numbers
@@ -283,36 +426,44 @@ def make_http_server(queue: BatchingQueue, host: str = "127.0.0.1", port: int = 
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
             elif self.path == "/stats":
-                self._json(200, queue.stats())
+                stats = {}
+                if queue is not None:
+                    stats["features"] = queue.stats()
+                if classifier_queue is not None:
+                    stats["predict"] = classifier_queue.stats()
+                self._json(200, stats if len(stats) > 1 else next(iter(stats.values())))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
+        def _read_volumes(self, engine) -> np.ndarray:
+            length = int(self.headers.get("Content-Length", 0))
+            arr = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            if arr.ndim == len(engine.volume_shape):
+                arr = arr[None]
+            return arr
+
         def do_POST(self):
-            if self.path != "/features":
-                self._json(404, {"error": f"unknown path {self.path}"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                arr = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
-                if arr.ndim == len(queue.engine.volume_shape):
-                    arr = arr[None]
-                # submit the whole stack before waiting so it batches as one
-                # (or a few) slabs rather than serialising volume-by-volume
-                pendings = [queue.submit(v) for v in arr]
-                for p in pendings:
-                    if not p.event.wait(300):
-                        raise TimeoutError("inference timed out")
-                    if p.error is not None:
-                        raise p.error
-                feats = np.stack([p.result for p in pendings])
-                buf = io.BytesIO()
-                np.save(buf, feats.astype(np.float32), allow_pickle=False)
-                body = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                if self.path == "/features" and queue is not None:
+                    feats = _gather(queue, self._read_volumes(queue.engine))
+                    buf = io.BytesIO()
+                    np.save(buf, feats.astype(np.float32), allow_pickle=False)
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/predict" and classifier_queue is not None:
+                    eng = classifier_queue.engine
+                    probs = _gather(classifier_queue, self._read_volumes(eng))
+                    self._json(200, {
+                        "probs": probs.tolist(),
+                        "pred": probs.argmax(-1).tolist(),
+                        "num_folds": eng.num_folds,
+                    })
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -333,21 +484,55 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8000,
     mesh=None,
+    task: str = "features",
+    num_classes: int = 2,
+    ensemble_criterion: str = "ft",
 ):
-    """Build the engine, warm the serving shape, run the HTTP server."""
-    engine = FeatureEngine(
-        checkpoint_path, model_name=model_name, volume_size=volume_size,
-        in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
-        compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
-        mesh=mesh,
-    )
+    """Build the engine, warm the serving shape, run the HTTP server.
+
+    `task='features'`: SSL feature extraction from an MAE checkpoint
+    (POST /features). `task='classify'`: class probabilities from
+    fine-tuned classifier checkpoint(s) (POST /predict) —
+    `checkpoint_path` may be comma-separated flat checkpoints, one
+    checkpoint, or a finetune-kfold work dir (per-fold best-
+    `ensemble_criterion` models are ensembled by fold-mean softmax)."""
+    import os
+
+    if task == "classify":
+        common = dict(
+            model_name=model_name, volume_size=volume_size, in_chans=in_chans,
+            patch_size=patch_size, batch_size=batch_size, num_classes=num_classes,
+            compute_dtype=compute_dtype, normalize=normalize, mesh=mesh,
+        )
+        if "," in checkpoint_path:
+            engine = ClassifierEngine(checkpoint_path.split(","), **common)
+        elif os.path.isdir(os.path.join(checkpoint_path, "checkpoints")):
+            engine = ClassifierEngine.from_work_dir(
+                checkpoint_path, criterion=ensemble_criterion, **common
+            )
+        else:
+            engine = ClassifierEngine(checkpoint_path, **common)
+        endpoint = "POST /predict"
+    elif task == "features":
+        engine = FeatureEngine(
+            checkpoint_path, model_name=model_name, volume_size=volume_size,
+            in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
+            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
+            mesh=mesh,
+        )
+        endpoint = "POST /features"
+    else:
+        raise ValueError(f"task must be 'features'|'classify', got {task!r}")
     t = engine.warmup()
+    folds = f", {engine.num_folds}-fold ensemble" if task == "classify" else ""
     print(f"serving shape compiled in {t:.1f}s "
-          f"(batch {batch_size}, {quantize if quantize != 'none' else compute_dtype})")
+          f"(batch {batch_size}, "
+          f"{quantize if quantize != 'none' else compute_dtype}{folds})")
     queue = BatchingQueue(engine, max_wait_ms=max_wait_ms)
-    server = make_http_server(queue, host=host, port=port)
+    kw = {"classifier_queue": queue} if task == "classify" else {"queue": queue}
+    server = make_http_server(host=host, port=port, **kw)
     print(f"listening on http://{host}:{server.server_address[1]} "
-          f"(POST /features, GET /healthz, GET /stats)")
+          f"({endpoint}, GET /healthz, GET /stats)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
