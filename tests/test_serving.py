@@ -91,6 +91,60 @@ def test_engine_shape_validation(engine):
         engine.infer(np.zeros((1, 2, VOL, VOL, VOL), np.float32))
 
 
+def test_engine_resize_inputs(ckpt, engine):
+    """resize=True trilinear-resamples mismatched spatial dims to the model
+    size; the identity case is untouched and channel mismatches still fail."""
+    import jax.image
+
+    eng = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+        resize=True,
+    )
+    big = np.random.default_rng(9).standard_normal((2, 1, 24, 24, 24)).astype(np.float32)
+    want_in = np.asarray(jax.image.resize(
+        jnp.asarray(big), (2, 1, VOL, VOL, VOL), method="trilinear"
+    ), np.float32)
+    np.testing.assert_allclose(
+        eng.infer(big), engine.infer(want_in), rtol=1e-5, atol=1e-6
+    )
+    same = _vols(2, seed=10)
+    np.testing.assert_allclose(eng.infer(same), engine.infer(same),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="channel"):
+        eng.infer(np.zeros((1, 2, 24, 24, 24), np.float32))
+
+
+def test_http_accepts_nifti_bodies(engine):
+    """A gzipped single-file NIfTI-1 body is decoded (3-D -> one single-
+    channel volume) and served identically to the equivalent .npy."""
+    from vit_ae_plus_plus_tpu.utils.nifti import write_nifti
+
+    q = BatchingQueue(engine, max_wait_ms=5.0)
+    server = make_http_server(queue=q, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        vol = _vols(1, seed=11)[0, 0]  # (S, S, S)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/v.nii.gz"
+            write_nifti(path, vol)
+            body = open(path, "rb").read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            feats = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        np.testing.assert_allclose(
+            feats, engine.infer(vol[None, None]), rtol=1e-4, atol=1e-5
+        )
+    finally:
+        server.shutdown()
+        q.close()
+
+
 def test_batching_queue_concurrent_parity_and_fill(engine):
     vols = _vols(2 * BATCH + 1, seed=4)
     want = engine.infer(vols)

@@ -239,6 +239,9 @@ def main(argv=None):
     srv.add_argument("--normalize", default="none", choices=["none", "zscore"],
                      help="zscore: per-channel z-score each request volume "
                           "(the datasets' semantics)")
+    srv.add_argument("--resize-inputs", action="store_true",
+                     help="trilinear-resample mismatched spatial dims to "
+                          "the model's volume size instead of rejecting")
     srv.add_argument("--max-wait-ms", type=float, default=5.0,
                      help="dynamic-batching gather window")
     srv.add_argument("--n-devices", type=int, default=None,
@@ -315,6 +318,7 @@ def main(argv=None):
             host=args.host, port=args.port, mesh=mesh,
             task=args.task, num_classes=args.num_classes,
             ensemble_criterion=args.ensemble_criterion,
+            resize=args.resize_inputs,
         )
         return 0
 

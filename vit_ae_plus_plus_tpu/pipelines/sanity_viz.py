@@ -103,17 +103,23 @@ def save_slice_pngs(recon: Dict[str, np.ndarray], out_dir: str, sample_idx: int 
 
 def save_nifti(recon: Dict[str, np.ndarray], out_dir: str, sample_idx: int = 0) -> bool:
     """Masked / reconstruction / paste composites as .nii.gz
-    (visualizations.py:37-68). Returns False if nibabel is unavailable."""
+    (visualizations.py:37-68). Uses nibabel when present; otherwise the
+    built-in NIfTI-1 writer (utils/nifti.py) — never skipped."""
+    os.makedirs(out_dir, exist_ok=True)
     try:
         import nibabel as nib
+
+        for name in ("original", "masked", "reconstruction", "paste"):
+            img = nib.Nifti1Image(recon[name][sample_idx, 0], affine=np.eye(4))
+            nib.save(img, os.path.join(out_dir, f"{name}_{sample_idx}.nii.gz"))
+        return True
     except ImportError:
-        print("nibabel not available; skipping NIfTI export")
-        return False
-    os.makedirs(out_dir, exist_ok=True)
-    for name in ("original", "masked", "reconstruction", "paste"):
-        img = nib.Nifti1Image(recon[name][sample_idx, 0], affine=np.eye(4))
-        nib.save(img, os.path.join(out_dir, f"{name}_{sample_idx}.nii.gz"))
-    return True
+        from vit_ae_plus_plus_tpu.utils.nifti import write_nifti
+
+        for name in ("original", "masked", "reconstruction", "paste"):
+            write_nifti(os.path.join(out_dir, f"{name}_{sample_idx}.nii.gz"),
+                        recon[name][sample_idx, 0])
+        return True
 
 
 def check_patchify_roundtrip(volume: np.ndarray, patch_size: int) -> bool:

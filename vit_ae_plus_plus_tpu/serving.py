@@ -40,6 +40,8 @@ class _SlabEngine:
     Subclasses set ``_step``, ``batch_size``, ``volume_shape``, ``normalize``,
     ``_lock``."""
 
+    resize: bool = False  # subclasses may enable via their constructors
+
     def _normalize(self, v: np.ndarray) -> np.ndarray:
         if self.normalize == "zscore":
             # per-channel z-score over spatial dims (data/brats.py:26-32 /
@@ -48,6 +50,23 @@ class _SlabEngine:
             std = v.std(axis=(-3, -2, -1), keepdims=True)
             v = (v - mean) / np.maximum(std, 1e-8)
         return v
+
+    def _maybe_resize(self, v: np.ndarray) -> np.ndarray:
+        """Trilinear-resample mismatched spatial dims to the model's volume
+        size (jax.image.resize — the same resampling family the pos-embed
+        interpolation uses, ops/pos_embed.py). Channel count must match."""
+        if v.shape[1:] == self.volume_shape or not self.resize:
+            return v
+        if v.shape[1] != self.volume_shape[0]:
+            raise ValueError(
+                f"channel mismatch: model expects {self.volume_shape[0]}, "
+                f"got {v.shape[1]} (resize only fixes spatial dims)"
+            )
+        out_shape = (v.shape[0], *self.volume_shape)
+        return np.asarray(
+            jax.image.resize(jnp.asarray(v), out_shape, method="trilinear"),
+            np.float32,
+        )
 
     def warmup(self) -> float:
         """Compile the serving shape; returns compile+run seconds."""
@@ -60,6 +79,7 @@ class _SlabEngine:
         """(N, C, S, S, S) -> (N, out_dim) float32, any N >= 1 (slabs of
         ``batch_size`` padded with repeats — static shapes, no recompiles)."""
         volumes = np.asarray(volumes, np.float32)
+        volumes = self._maybe_resize(volumes)
         if volumes.shape[1:] != self.volume_shape:
             raise ValueError(
                 f"expected (N, {', '.join(map(str, self.volume_shape))}), "
@@ -99,6 +119,7 @@ class FeatureEngine(_SlabEngine):
         normalize: str = "none",
         mesh=None,
         mae_params=None,
+        resize: bool = False,
     ):
         """`mesh`: an optional ('data', ...) jax.sharding.Mesh — serving slabs
         shard over its 'data' axis (scale-out serving across chips; the slab
@@ -157,6 +178,7 @@ class FeatureEngine(_SlabEngine):
         self.volume_shape = (in_chans, s, s, s)
         self.normalize = normalize
         self.feature_dim = mae_cfg.embed_dim
+        self.resize = resize
         self._lock = threading.Lock()  # jax dispatch: one slab at a time
 
 
@@ -184,6 +206,7 @@ class ClassifierEngine(_SlabEngine):
         normalize: str = "none",
         mesh=None,
         vit_params_list=None,
+        resize: bool = False,
     ):
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
         from vit_ae_plus_plus_tpu.train.checkpoint import load_params
@@ -249,6 +272,7 @@ class ClassifierEngine(_SlabEngine):
         self.normalize = normalize
         self.num_classes = num_classes
         self.num_folds = len(self._params_list)
+        self.resize = resize
         self._lock = threading.Lock()
 
     @classmethod
@@ -437,7 +461,21 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
 
         def _read_volumes(self, engine) -> np.ndarray:
             length = int(self.headers.get("Content-Length", 0))
-            arr = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            body = self.rfile.read(length)
+            if body[:6] == b"\x93NUMPY":
+                arr = np.load(io.BytesIO(body), allow_pickle=False)
+            else:
+                from vit_ae_plus_plus_tpu.utils.nifti import is_nifti, read_nifti
+
+                if not is_nifti(body):
+                    raise ValueError("body is neither .npy nor NIfTI-1")
+                arr = read_nifti(body)
+                if arr.ndim == 3:  # (x, y, z) -> single channel
+                    arr = arr[None]
+                elif arr.ndim == 4:  # (x, y, z, t) -> channels first
+                    arr = arr.transpose(3, 0, 1, 2)
+                else:
+                    raise ValueError(f"NIfTI volume must be 3-D/4-D, got {arr.ndim}-D")
             if arr.ndim == len(engine.volume_shape):
                 arr = arr[None]
             return arr
@@ -487,6 +525,7 @@ def serve(
     task: str = "features",
     num_classes: int = 2,
     ensemble_criterion: str = "ft",
+    resize: bool = False,
 ):
     """Build the engine, warm the serving shape, run the HTTP server.
 
@@ -503,6 +542,7 @@ def serve(
             model_name=model_name, volume_size=volume_size, in_chans=in_chans,
             patch_size=patch_size, batch_size=batch_size, num_classes=num_classes,
             compute_dtype=compute_dtype, normalize=normalize, mesh=mesh,
+            resize=resize,
         )
         if "," in checkpoint_path:
             engine = ClassifierEngine(checkpoint_path.split(","), **common)
@@ -518,7 +558,7 @@ def serve(
             checkpoint_path, model_name=model_name, volume_size=volume_size,
             in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
             compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
-            mesh=mesh,
+            mesh=mesh, resize=resize,
         )
         endpoint = "POST /features"
     else:
