@@ -297,6 +297,42 @@ def test_classifier_http_predict(ft_work_dir):
         q.close()
 
 
+def test_serve_cli_drains_on_sigterm(ckpt):
+    """The serve CLI must exit cleanly (code 0, 'server stopped') on SIGTERM
+    — the production kill path."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vit_ae_plus_plus_tpu.cli", "serve",
+         "--checkpoint", ckpt, "--model", "contr_mae_vit_tiny_patch4",
+         "--volume-size", str(VOL), "--patch-size", "4", "--in-channels", "1",
+         "--batch-size", "2", "--compute-dtype", "float32", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    try:
+        deadline = _time.time() + 240
+        lines = []
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "listening on" in line:
+                break
+        else:
+            pytest.fail("server never came up: " + "".join(lines[-5:]))
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out
+        assert "server stopped" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_http_server_end_to_end(engine):
     q = BatchingQueue(engine, max_wait_ms=5.0)
     server = make_http_server(q, host="127.0.0.1", port=0)

@@ -571,12 +571,26 @@ def serve(
     queue = BatchingQueue(engine, max_wait_ms=max_wait_ms)
     kw = {"classifier_queue": queue} if task == "classify" else {"queue": queue}
     server = make_http_server(host=host, port=port, **kw)
+
+    import signal
+
+    def _stop(signum, _frame):
+        # shutdown() must come from another thread (serve_forever holds this
+        # one); queue.close() afterwards drains already-accepted requests
+        print(f"signal {signum}: draining and shutting down", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    # handler goes in BEFORE the readiness line: anyone scripting against
+    # "listening on" may SIGTERM immediately after reading it
+    prev = signal.signal(signal.SIGTERM, _stop)
     print(f"listening on http://{host}:{server.server_address[1]} "
-          f"({endpoint}, GET /healthz, GET /stats)")
+          f"({endpoint}, GET /healthz, GET /stats)", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev)
         server.shutdown()
         queue.close()
+        print("server stopped", flush=True)
