@@ -11,9 +11,11 @@ This module is the TPU-native deployment path for the same model surface:
 - ``BatchingQueue``: collects concurrent single-volume requests into padded
   slabs (classic dynamic batching with a bounded gather window) and keeps
   latency/fill statistics.
-- ``FeatureServer``: a stdlib ThreadingHTTPServer front end —
-  ``POST /features`` with an ``.npy`` body, ``GET /healthz``,
-  ``GET /stats`` — exposed as the ``serve`` CLI subcommand.
+- ``make_http_server`` / ``serve``: a stdlib ThreadingHTTPServer front end —
+  ``POST /features`` (SSL features) and ``POST /predict`` (k-fold-ensembled
+  class probabilities via ``ClassifierEngine``) with ``.npy`` or NIfTI-1
+  bodies, ``GET /healthz``, ``GET /stats`` — exposed as the ``serve`` CLI
+  subcommand; drains gracefully on SIGTERM.
 
 Everything is framework code (threads + numpy at the edge, one jitted
 callable at the core); there is no model-specific logic here beyond the
