@@ -83,6 +83,50 @@ def test_unsupported_datatype_raises():
         read_nifti(bytes(blob))
 
 
+def test_nifti_ingestion_feeds_split_bootstrap(tmp_path):
+    """prepare-data brats --nifti-dir: a directory of .nii.gz scans + a
+    labels CSV becomes the monolithic arrays and then real splits."""
+    from vit_ae_plus_plus_tpu.cli import main as cli_main
+    from vit_ae_plus_plus_tpu.data.splits import ingest_nifti_volumes
+
+    rng = np.random.default_rng(4)
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    with open(tmp_path / "labels.csv", "w") as f:
+        f.write("name,label\n")
+        for i in range(20):
+            vol = rng.standard_normal((8, 8, 8)).astype(np.float32)
+            write_nifti(str(scans / f"case_{i:03d}.nii.gz"), vol)
+            f.write(f"case_{i:03d},{i % 2}\n")
+
+    out = tmp_path / "splits"
+    vol_path, lab_path = ingest_nifti_volumes(
+        str(scans), str(tmp_path / "labels.csv"), str(out)
+    )
+    vols = np.load(vol_path)
+    assert vols.shape == (20, 8, 8, 8, 1) and vols.dtype == np.float32
+    labs = np.load(lab_path)
+    assert labs.tolist() == [i % 2 for i in range(20)]
+    # the scan written as case_003 must land at index 3 with its own voxels
+    np.testing.assert_array_equal(
+        vols[3, ..., 0], read_nifti(str(scans / "case_003.nii.gz"))
+    )
+
+    # full CLI path: ingest + stratified split bootstrap in one command
+    out2 = tmp_path / "splits_cli"
+    rc = cli_main(["prepare-data", "brats", "--nifti-dir", str(scans),
+                   "--labels-csv", str(tmp_path / "labels.csv"),
+                   "--out-dir", str(out2)])
+    assert rc == 0
+    x_train = np.load(out2 / "x_train_ssl.npy")
+    assert x_train.shape[1:] == (8, 8, 8, 1)
+    # missing label row fails loudly
+    write_nifti(str(scans / "case_xxx.nii.gz"), np.zeros((8, 8, 8), np.float32))
+    with pytest.raises(KeyError, match="case_xxx"):
+        ingest_nifti_volumes(str(scans), str(tmp_path / "labels.csv"),
+                             str(tmp_path / "s3"))
+
+
 def test_sanity_viz_save_nifti_falls_back_to_builtin(tmp_path):
     """With nibabel absent in this env, save_nifti must still write valid
     files via the built-in writer."""

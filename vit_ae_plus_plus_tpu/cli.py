@@ -268,6 +268,11 @@ def main(argv=None):
     prep.add_argument("kind", choices=["brats", "egd"])
     prep.add_argument("--volumes", help="brats: flair_all.npy")
     prep.add_argument("--labels", help="brats: label_all.npy")
+    prep.add_argument("--nifti-dir", help="brats: ingest a directory of "
+                      ".nii/.nii.gz scans instead of --volumes/--labels "
+                      "(built-in NIfTI reader, no nibabel)")
+    prep.add_argument("--labels-csv", help="brats with --nifti-dir: "
+                      "name,label rows keyed by the scan file stem")
     prep.add_argument("--csv", help="egd: radiologist csv")
     prep.add_argument("--scans-root", help="egd: pre_processed dir")
     prep.add_argument("--out-dir", required=True)
@@ -349,7 +354,14 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.data import splits as S
 
         if args.kind == "brats":
-            S.split_brats_data(args.volumes, args.labels, args.out_dir, args.overwrite)
+            volumes, labels = args.volumes, args.labels
+            if args.nifti_dir:
+                if not args.labels_csv:
+                    raise SystemExit("--nifti-dir needs --labels-csv")
+                volumes, labels = S.ingest_nifti_volumes(
+                    args.nifti_dir, args.labels_csv, args.out_dir
+                )
+            S.split_brats_data(volumes, labels, args.out_dir, args.overwrite)
         else:
             S.prepare_egd_splits(args.csv, args.scans_root, args.out_dir,
                                  "who_idh_mutation_status")

@@ -67,6 +67,70 @@ def split_brats_data(
     return split_indices
 
 
+def ingest_nifti_volumes(
+    nifti_dir: str,
+    labels_csv: str,
+    out_dir: str,
+    pattern: str = "*.nii*",
+) -> Tuple[str, str]:
+    """Stack a directory of single-channel NIfTI scans into the monolithic
+    `(N, S, S, S, 1)` volume + label arrays `split_brats_data` consumes.
+
+    Raw BraTS distributions ship `.nii.gz` scans; the reference assumes an
+    out-of-repo preprocessing step already produced the npy monolith
+    (dataset/brats_dataset/brats.py:17 loads x_{mode}_ssl.npy). This closes
+    that gap with the built-in NIfTI reader (utils/nifti.py — no nibabel).
+
+    `labels_csv`: two columns `name,label`; `name` matches the file stem
+    (`.nii`/`.nii.gz` stripped). Returns (volumes_path, labels_path).
+    """
+    import csv
+    import glob
+
+    from vit_ae_plus_plus_tpu.utils.nifti import read_nifti
+
+    paths = sorted(glob.glob(os.path.join(nifti_dir, pattern)))
+    if not paths:
+        raise FileNotFoundError(f"no files matching {pattern} under {nifti_dir}")
+
+    def stem(p: str) -> str:
+        base = os.path.basename(p)
+        for suf in (".nii.gz", ".nii"):
+            if base.endswith(suf):
+                return base[: -len(suf)]
+        return base
+
+    with open(labels_csv, newline="") as f:
+        rows = [r for r in csv.reader(f) if r]
+    if rows and not rows[0][1].strip().lstrip("-").isdigit():
+        rows = rows[1:]  # header
+    label_by_name = {name.strip(): int(lab) for name, lab, *_ in rows}
+
+    vols, labels = [], []
+    shape = None
+    for p in paths:
+        name = stem(p)
+        if name not in label_by_name:
+            raise KeyError(f"{name} (from {p}) has no row in {labels_csv}")
+        v = read_nifti(p)
+        if v.ndim != 3:
+            raise ValueError(f"{p}: expected a 3-D scan, got {v.ndim}-D")
+        if shape is None:
+            shape = v.shape
+        elif v.shape != shape:
+            raise ValueError(f"{p}: shape {v.shape} != first scan's {shape}")
+        vols.append(v[..., None])  # trailing channel dim (brats.py:17 layout)
+        labels.append(label_by_name[name])
+
+    os.makedirs(out_dir, exist_ok=True)
+    volumes_path = os.path.join(out_dir, "volumes_all.npy")
+    labels_path = os.path.join(out_dir, "labels_all.npy")
+    np.save(volumes_path, np.stack(vols).astype(np.float32))
+    np.save(labels_path, np.asarray(labels, np.int64))
+    print(f"ingested {len(vols)} NIfTI scans of shape {shape} -> {volumes_path}")
+    return volumes_path, labels_path
+
+
 def prepare_egd_splits(
     csv_path: str,
     scans_root: str,
