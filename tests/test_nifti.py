@@ -127,6 +127,61 @@ def test_nifti_ingestion_feeds_split_bootstrap(tmp_path):
                              str(tmp_path / "s3"))
 
 
+def test_egd_nifti_scan_conversion(tmp_path, capsys):
+    """convert_egd_nifti_scans: per-scan NIfTI modalities -> the npy layout
+    EGDDataset reads (data/egd.py:88); incomplete scans are skipped like the
+    bootstrap's missing-file tolerance (egd_split.py:26-27)."""
+    from vit_ae_plus_plus_tpu.data.splits import convert_egd_nifti_scans
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "nii"
+    wants = {}
+    for i in range(3):
+        scan = f"MR_{i:03d}"
+        (src / scan).mkdir(parents=True)
+        mods = ("flair", "t1ce", "t1", "t2") if i != 1 else ("flair", "t1")
+        for m in mods:
+            vol = rng.standard_normal((6, 6, 6)).astype(np.float32)
+            write_nifti(str(src / scan / f"{m}.nii.gz"), vol)
+            wants[(scan, m)] = vol
+
+    out = tmp_path / "npy"
+    assert convert_egd_nifti_scans(str(src), str(out)) == 2
+    assert "skipping MR_001" in capsys.readouterr().out
+    assert not (out / "MR_001").exists()
+    for scan in ("MR_000", "MR_002"):
+        for m in ("flair", "t1ce", "t1", "t2"):
+            np.testing.assert_array_equal(
+                np.load(out / scan / f"{m}.npy"), wants[(scan, m)]
+            )
+    with pytest.raises(FileNotFoundError, match="no complete"):
+        convert_egd_nifti_scans(str(src / "MR_001"), str(tmp_path / "x"))
+
+
+def test_egd_splits_keep_zero_padded_subject_ids(tmp_path):
+    """Regression: numeric CSV subjects must parse as str (reference
+    egd_split.py:41-44) — as ints they lose zero-padding and never match
+    the MR_* scan dirs, silently emptying every split."""
+    from vit_ae_plus_plus_tpu.data.splits import prepare_egd_splits
+
+    rng = np.random.default_rng(6)
+    root = tmp_path / "scans"
+    for i in range(4):
+        d = root / f"MR_{i:03d}"
+        d.mkdir(parents=True)
+        for m in ("flair", "t1ce", "t1", "t2"):
+            np.save(d / f"{m}.npy", rng.standard_normal((4, 4, 4)).astype(np.float32))
+    with open(tmp_path / "rad.csv", "w") as f:
+        f.write("idx,Subject,who_idh_mutation_status\n")
+        for i in range(4):
+            f.write(f"{i},{i:03d},{i % 2 if i < 3 else -1}\n")
+    ssl, labelled = prepare_egd_splits(
+        str(tmp_path / "rad.csv"), str(root), str(tmp_path / "out")
+    )
+    assert ssl == ["MR_003"]
+    assert labelled == [("MR_000", 0), ("MR_001", 1), ("MR_002", 0)]
+
+
 def test_sanity_viz_save_nifti_falls_back_to_builtin(tmp_path):
     """With nibabel absent in this env, save_nifti must still write valid
     files via the built-in writer."""

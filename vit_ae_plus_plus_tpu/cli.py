@@ -268,9 +268,10 @@ def main(argv=None):
     prep.add_argument("kind", choices=["brats", "egd"])
     prep.add_argument("--volumes", help="brats: flair_all.npy")
     prep.add_argument("--labels", help="brats: label_all.npy")
-    prep.add_argument("--nifti-dir", help="brats: ingest a directory of "
-                      ".nii/.nii.gz scans instead of --volumes/--labels "
-                      "(built-in NIfTI reader, no nibabel)")
+    prep.add_argument("--nifti-dir", help="ingest raw NIfTI instead of npy: "
+                      "brats: a directory of .nii/.nii.gz scans (replaces "
+                      "--volumes/--labels); egd: per-scan dirs holding "
+                      "{flair,t1ce,t1,t2}.nii[.gz] (replaces --scans-root)")
     prep.add_argument("--labels-csv", help="brats with --nifti-dir: "
                       "name,label rows keyed by the scan file stem")
     prep.add_argument("--csv", help="egd: radiologist csv")
@@ -363,9 +364,13 @@ def main(argv=None):
                 )
             S.split_brats_data(volumes, labels, args.out_dir, args.overwrite)
         else:
-            S.prepare_egd_splits(args.csv, args.scans_root, args.out_dir,
+            scans_root = args.scans_root
+            if args.nifti_dir:
+                scans_root = os.path.join(args.out_dir, "scans")
+                S.convert_egd_nifti_scans(args.nifti_dir, scans_root)
+            S.prepare_egd_splits(args.csv, scans_root, args.out_dir,
                                  "who_idh_mutation_status")
-            S.prepare_egd_splits(args.csv, args.scans_root, args.out_dir,
+            S.prepare_egd_splits(args.csv, scans_root, args.out_dir,
                                  "who_1p19q_codeletion")
             S.refine_1p19q_scans(args.out_dir)
         return 0

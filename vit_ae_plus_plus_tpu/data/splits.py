@@ -131,6 +131,46 @@ def ingest_nifti_volumes(
     return volumes_path, labels_path
 
 
+def convert_egd_nifti_scans(nifti_root: str, out_root: str) -> int:
+    """Convert per-scan NIfTI modality files into the npy layout the EGD
+    dataset reads (base_path/<scan>/{flair,t1ce,t1,t2}.npy — data/egd.py:88).
+
+    Expects nifti_root/<scan>/<modality>.nii[.gz]; scans missing any of the
+    4 modalities are skipped with a message (mirroring the bootstrap's
+    missing-file tolerance, egd_split.py:26-27). Returns #scans converted."""
+    from vit_ae_plus_plus_tpu.utils.nifti import read_nifti
+
+    modalities = ("flair", "t1ce", "t1", "t2")
+    converted = 0
+    for scan in sorted(os.listdir(nifti_root)):
+        scan_dir = os.path.join(nifti_root, scan)
+        if not os.path.isdir(scan_dir):
+            continue
+        paths = {}
+        for m in modalities:
+            for suf in (".nii.gz", ".nii"):
+                p = os.path.join(scan_dir, m + suf)
+                if os.path.exists(p):
+                    paths[m] = p
+                    break
+        if len(paths) != len(modalities):
+            missing = sorted(set(modalities) - set(paths))
+            print(f"skipping {scan}: missing modalities {missing}")
+            continue
+        out_dir = os.path.join(out_root, scan)
+        os.makedirs(out_dir, exist_ok=True)
+        for m, p in paths.items():
+            vol = read_nifti(p)
+            if vol.ndim != 3:
+                raise ValueError(f"{p}: expected a 3-D scan, got {vol.ndim}-D")
+            np.save(os.path.join(out_dir, f"{m}.npy"), vol)
+        converted += 1
+    if converted == 0:
+        raise FileNotFoundError(f"no complete 4-modality scans under {nifti_root}")
+    print(f"converted {converted} EGD scans -> {out_root}")
+    return converted
+
+
 def prepare_egd_splits(
     csv_path: str,
     scans_root: str,
@@ -141,7 +181,10 @@ def prepare_egd_splits(
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-    df = pd.read_csv(csv_path, index_col=0, usecols=["Subject", target_col])
+    # Subject MUST parse as str (reference egd_split.py:41-44): numeric ids
+    # would otherwise lose their zero-padding and never match MR_* dirs
+    df = pd.read_csv(csv_path, index_col=0, usecols=["Subject", target_col],
+                     dtype={"Subject": str})
 
     ssl_scans, labelled, all_scans = [], [], []
     for name in df.index:
