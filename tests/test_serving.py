@@ -257,6 +257,26 @@ def test_classifier_ensemble_is_fold_mean_softmax(ft_work_dir):
     )
 
 
+def test_classifier_int8_tracks_f32(ft_work_dir):
+    """quantize='int8' classify: int8 trunk + f32 head; fold-mean probs must
+    track the f32 engine closely (same bar as the int8 extraction engine)."""
+    from vit_ae_plus_plus_tpu.serving import ClassifierEngine
+
+    work, _ = ft_work_dir
+    common = dict(model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+                  in_chans=1, patch_size=4, batch_size=BATCH,
+                  compute_dtype="float32")
+    f32 = ClassifierEngine.from_work_dir(work, **common)
+    q = ClassifierEngine.from_work_dir(work, quantize="int8", **common)
+    vols = _vols(4, seed=12)
+    p_f32, p_q = f32.infer(vols), q.infer(vols)
+    assert p_q.shape == p_f32.shape
+    np.testing.assert_allclose(p_q.sum(-1), 1.0, rtol=1e-4)
+    # int8 quantization noise must not flip the fold-mean probabilities far
+    assert np.max(np.abs(p_q - p_f32)) < 0.05
+    assert (p_q.argmax(-1) == p_f32.argmax(-1)).all()
+
+
 def test_classifier_http_predict(ft_work_dir):
     import json
 

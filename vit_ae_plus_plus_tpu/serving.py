@@ -205,6 +205,7 @@ class ClassifierEngine(_SlabEngine):
         batch_size: int = 8,
         num_classes: int = 2,
         compute_dtype: str = "bfloat16",
+        quantize: str = "none",
         normalize: str = "none",
         mesh=None,
         vit_params_list=None,
@@ -250,9 +251,35 @@ class ClassifierEngine(_SlabEngine):
 
             self._params_list = [replicate(v, mesh) for v in self._params_list]
 
-        def probs_fn(variables, batch):
-            logits = model.apply(variables, batch)
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if quantize == "int8":
+            # int8 trunk (models/quant.py double-rate MXU path) + the tiny
+            # classifier head and softmax in f32
+            from vit_ae_plus_plus_tpu.models.quant import (
+                quant_forward_features,
+                quantize_params,
+            )
+
+            self._params_list = [
+                {
+                    "q": quantize_params(v["params"]),
+                    "head": (
+                        np.asarray(v["params"]["head"]["kernel"], np.float32),
+                        np.asarray(v["params"]["head"]["bias"], np.float32),
+                    ),
+                }
+                for v in self._params_list
+            ]
+
+            def probs_fn(variables, batch):
+                feats = quant_forward_features(variables["q"], vit_cfg, batch)
+                logits = feats @ variables["head"][0] + variables["head"][1]
+                return jax.nn.softmax(logits, axis=-1)
+        elif quantize == "none":
+            def probs_fn(variables, batch):
+                logits = model.apply(variables, batch)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        else:
+            raise ValueError(f"quantize must be 'none'|'int8', got {quantize!r}")
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -543,8 +570,8 @@ def serve(
         common = dict(
             model_name=model_name, volume_size=volume_size, in_chans=in_chans,
             patch_size=patch_size, batch_size=batch_size, num_classes=num_classes,
-            compute_dtype=compute_dtype, normalize=normalize, mesh=mesh,
-            resize=resize,
+            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
+            mesh=mesh, resize=resize,
         )
         if "," in checkpoint_path:
             engine = ClassifierEngine(checkpoint_path.split(","), **common)
