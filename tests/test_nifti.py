@@ -75,6 +75,61 @@ def test_gzipped_bytes_and_magic_detection():
     assert not is_nifti(gzip.compress(b"not a nifti at all"))
 
 
+def test_scl_slope_zero_and_nan_mean_unscaled():
+    """Spec: slope == 0 -> ignore scaling entirely (inter too); NaN slope
+    (common in tool-written headers) also means unscaled — regression for
+    the all-NaN-volume bug."""
+    raw = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    np.testing.assert_array_equal(
+        read_nifti(_pack_nifti(raw, datatype=4, slope=0.0, inter=5.0)),
+        raw.astype(np.float32),
+    )
+    out = read_nifti(_pack_nifti(raw, datatype=4, slope=float("nan"),
+                                 inter=float("nan")))
+    np.testing.assert_array_equal(out, raw.astype(np.float32))
+    assert np.isfinite(out).all()
+
+
+def test_ingest_overwrite_guard_runs_before_reading(tmp_path):
+    """Re-running ingestion without overwrite must fail up front, not after
+    re-reading every scan and clobbering volumes_all.npy."""
+    from vit_ae_plus_plus_tpu.data.splits import ingest_nifti_volumes
+
+    scans = tmp_path / "s"
+    scans.mkdir()
+    write_nifti(str(scans / "a.nii"), np.ones((4, 4, 4), np.float32))
+    with open(tmp_path / "l.csv", "w") as f:
+        f.write("a,1\n")
+    out = tmp_path / "o"
+    ingest_nifti_volumes(str(scans), str(tmp_path / "l.csv"), str(out))
+    before = (out / "volumes_all.npy").stat().st_mtime_ns
+    with pytest.raises(FileExistsError, match="overwrite"):
+        ingest_nifti_volumes(str(scans), str(tmp_path / "l.csv"), str(out))
+    assert (out / "volumes_all.npy").stat().st_mtime_ns == before
+    ingest_nifti_volumes(str(scans), str(tmp_path / "l.csv"), str(out),
+                         overwrite=True)  # explicit overwrite proceeds
+
+
+def test_ingest_labels_csv_malformed_rows(tmp_path):
+    """Short or non-numeric rows fail with a message naming the line;
+    float labels ('1.0') are data, not a header."""
+    from vit_ae_plus_plus_tpu.data.splits import ingest_nifti_volumes
+
+    scans = tmp_path / "s"
+    scans.mkdir()
+    write_nifti(str(scans / "a.nii"), np.ones((4, 4, 4), np.float32))
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,1\nstray\n")
+    with pytest.raises(ValueError, match="bad.csv:2"):
+        ingest_nifti_volumes(str(scans), str(bad), str(tmp_path / "o1"))
+    floaty = tmp_path / "f.csv"
+    floaty.write_text("a,1.0\n")  # headerless, float label
+    _, labels_path = ingest_nifti_volumes(
+        str(scans), str(floaty), str(tmp_path / "o2")
+    )
+    assert np.load(labels_path).tolist() == [1]
+
+
 def test_unsupported_datatype_raises():
     vol = np.zeros((2, 2, 2), np.float32)
     blob = bytearray(_pack_nifti(vol))

@@ -185,6 +185,86 @@ def test_batching_queue_delivers_errors(engine):
         q.close()
 
 
+def test_bad_request_cannot_poison_a_cobatched_slab(ckpt, engine):
+    """submit() validates in the caller's thread: a malformed request raises
+    alone while a concurrent valid request still succeeds, and with
+    resize=True two DIFFERENT-sized valid requests co-batch correctly."""
+    eng = FeatureEngine(
+        ckpt, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+        in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+        resize=True,
+    )
+    q = BatchingQueue(eng, max_wait_ms=50.0)
+    try:
+        results, errors = {}, {}
+
+        def good(i, vol):
+            try:
+                results[i] = q.infer_one(vol)
+            except BaseException as e:  # pragma: no cover
+                errors[i] = e
+
+        def bad():
+            try:
+                q.infer_one(np.zeros((2, VOL, VOL, VOL), np.float32))
+            except ValueError as e:
+                errors["bad"] = e
+
+        v_native = _vols(1, seed=20)[0]
+        v_small = np.random.default_rng(21).standard_normal(
+            (1, 10, 10, 10)
+        ).astype(np.float32)
+        threads = [
+            threading.Thread(target=good, args=(0, v_native)),
+            threading.Thread(target=bad),
+            threading.Thread(target=good, args=(1, v_small)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert "bad" in errors and isinstance(errors["bad"], ValueError)
+        assert 0 in results and 1 in results  # valid requests unharmed
+        np.testing.assert_allclose(
+            results[1], eng.infer(v_small[None])[0], rtol=1e-5, atol=1e-6
+        )
+    finally:
+        q.close()
+
+
+def test_stats_endpoint_with_no_queues_returns_empty():
+    import json
+
+    server = make_http_server(host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            assert json.loads(r.read()) == {}
+    finally:
+        server.shutdown()
+
+
+def test_from_work_dir_skips_orbax_temp_dirs(ft_work_dir):
+    import os
+
+    from vit_ae_plus_plus_tpu.serving import ClassifierEngine
+
+    work, _ = ft_work_dir
+    tmp = os.path.join(
+        work, "checkpoints", "checkpoint-best_ft_model_0.orbax-checkpoint-tmp-123"
+    )
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        eng = ClassifierEngine.from_work_dir(
+            work, model_name="contr_mae_vit_tiny_patch4", volume_size=VOL,
+            in_chans=1, patch_size=4, batch_size=BATCH, compute_dtype="float32",
+        )
+        assert eng.num_folds == 2  # the temp dir did not crash or count
+    finally:
+        os.rmdir(tmp)
+
+
 def test_engine_on_data_mesh_matches_single_device(ckpt, engine):
     """Scale-out serving: slabs shard over the mesh 'data' axis and match
     the single-device engine exactly."""

@@ -246,7 +246,7 @@ def main(argv=None):
                      help="dynamic-batching gather window")
     srv.add_argument("--n-devices", type=int, default=None,
                      help="shard serving slabs over a 'data' mesh of this "
-                          "many chips (batch size must divide it)")
+                          "many chips (must divide the batch size)")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
 
@@ -262,6 +262,9 @@ def main(argv=None):
     exp.add_argument("--model", default="contr_mae_vit_base_patch16")
     exp.add_argument("--volume-size", type=int, default=96)
     exp.add_argument("--in-channels", type=int, default=1)
+    exp.add_argument("--patch-size", type=int, default=None,
+                     help="override the zoo preset's patch size (must match "
+                          "the trained checkpoint)")
     exp.add_argument("--seed", type=int, default=42)
 
     prep = sub.add_parser("prepare-data")
@@ -339,9 +342,10 @@ def main(argv=None):
             resolve_checkpoint_path,
         )
 
-        mae_cfg = MODEL_ZOO[args.model](
-            volume_size=args.volume_size, in_chans=args.in_channels,
-        )
+        zoo_kw = dict(volume_size=args.volume_size, in_chans=args.in_channels)
+        if args.patch_size is not None:
+            zoo_kw["patch_size"] = args.patch_size
+        mae_cfg = MODEL_ZOO[args.model](**zoo_kw)
         params = load_params(
             resolve_checkpoint_path(args.checkpoint),
             _mae_params_template(mae_cfg, args.seed),
@@ -360,10 +364,13 @@ def main(argv=None):
                 if not args.labels_csv:
                     raise SystemExit("--nifti-dir needs --labels-csv")
                 volumes, labels = S.ingest_nifti_volumes(
-                    args.nifti_dir, args.labels_csv, args.out_dir
+                    args.nifti_dir, args.labels_csv, args.out_dir,
+                    overwrite=args.overwrite,
                 )
             S.split_brats_data(volumes, labels, args.out_dir, args.overwrite)
         else:
+            if not args.csv:
+                raise SystemExit("prepare-data egd needs --csv (radiologist labels)")
             scans_root = args.scans_root
             if args.nifti_dir:
                 scans_root = os.path.join(args.out_dir, "scans")

@@ -72,6 +72,7 @@ def ingest_nifti_volumes(
     labels_csv: str,
     out_dir: str,
     pattern: str = "*.nii*",
+    overwrite: bool = False,
 ) -> Tuple[str, str]:
     """Stack a directory of single-channel NIfTI scans into the monolithic
     `(N, S, S, S, 1)` volume + label arrays `split_brats_data` consumes.
@@ -89,6 +90,13 @@ def ingest_nifti_volumes(
 
     from vit_ae_plus_plus_tpu.utils.nifti import read_nifti
 
+    # honour the overwrite contract BEFORE any scan reading: both this
+    # function's outputs and split_brats_data's marker protect reruns
+    for marker in ("volumes_all.npy", "x_train_ssl.npy"):
+        p = os.path.join(out_dir, marker)
+        if os.path.exists(p) and not overwrite:
+            raise FileExistsError(f"{p} exists; pass overwrite=True to recreate")
+
     paths = sorted(glob.glob(os.path.join(nifti_dir, pattern)))
     if not paths:
         raise FileNotFoundError(f"no files matching {pattern} under {nifti_dir}")
@@ -102,9 +110,29 @@ def ingest_nifti_volumes(
 
     with open(labels_csv, newline="") as f:
         rows = [r for r in csv.reader(f) if r]
-    if rows and not rows[0][1].strip().lstrip("-").isdigit():
-        rows = rows[1:]  # header
-    label_by_name = {name.strip(): int(lab) for name, lab, *_ in rows}
+
+    def _label(row, lineno):
+        if len(row) < 2:
+            raise ValueError(
+                f"{labels_csv}:{lineno}: expected name,label — got {row!r}"
+            )
+        try:
+            return int(float(row[1]))  # '1' and '1.0' both accepted
+        except ValueError:
+            return None
+
+    first_line = 1
+    if rows and _label(rows[0], 1) is None:
+        rows = rows[1:]  # header row
+        first_line = 2
+    label_by_name = {}
+    for i, row in enumerate(rows, start=first_line):
+        lab = _label(row, i)
+        if lab is None:
+            raise ValueError(
+                f"{labels_csv}:{i}: label {row[1]!r} is not numeric"
+            )
+        label_by_name[row[0].strip()] = lab
 
     vols, labels = [], []
     shape = None
@@ -140,7 +168,7 @@ def convert_egd_nifti_scans(nifti_root: str, out_root: str) -> int:
     missing-file tolerance, egd_split.py:26-27). Returns #scans converted."""
     from vit_ae_plus_plus_tpu.utils.nifti import read_nifti
 
-    modalities = ("flair", "t1ce", "t1", "t2")
+    modalities = MODALITIES  # the npy layout contract lives in data/egd.py
     converted = 0
     for scan in sorted(os.listdir(nifti_root)):
         scan_dir = os.path.join(nifti_root, scan)

@@ -70,6 +70,20 @@ class _SlabEngine:
             np.float32,
         )
 
+    def prepare_one(self, volume: np.ndarray) -> np.ndarray:
+        """Validate (and optionally resize) ONE request volume — used by the
+        batcher BEFORE enqueueing so a bad request fails alone instead of
+        poisoning its co-batched slab, and so mixed-size requests can be
+        co-batched after per-request resizing."""
+        v = np.asarray(volume, np.float32)
+        v = self._maybe_resize(v[None])[0]
+        if v.shape != self.volume_shape:
+            raise ValueError(
+                f"expected ({', '.join(map(str, self.volume_shape))}), "
+                f"got {v.shape}"
+            )
+        return v
+
     def warmup(self) -> float:
         """Compile the serving shape; returns compile+run seconds."""
         t0 = time.time()
@@ -124,8 +138,8 @@ class FeatureEngine(_SlabEngine):
         resize: bool = False,
     ):
         """`mesh`: an optional ('data', ...) jax.sharding.Mesh — serving slabs
-        shard over its 'data' axis (scale-out serving across chips; the slab
-        batch size must divide the axis). `mae_params` bypasses the
+        shard over its 'data' axis (scale-out serving across chips; the axis
+        size must divide the slab batch size). `mae_params` bypasses the
         checkpoint load with an in-memory MAE param tree (benchmarks)."""
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model
         from vit_ae_plus_plus_tpu.pipelines.probe_kfold import _mae_params_template
@@ -156,8 +170,8 @@ class FeatureEngine(_SlabEngine):
             n_data = mesh.shape.get("data", 1)
             if batch_size % n_data:
                 raise ValueError(
-                    f"serving batch_size {batch_size} must divide the mesh's "
-                    f"data axis ({n_data})"
+                    f"the mesh's data axis ({n_data}) must divide the "
+                    f"serving batch_size ({batch_size})"
                 )
         if quantize == "int8":
             from vit_ae_plus_plus_tpu.models.quant import make_quant_feature_step
@@ -244,8 +258,8 @@ class ClassifierEngine(_SlabEngine):
             n_data = mesh.shape.get("data", 1)
             if batch_size % n_data:
                 raise ValueError(
-                    f"serving batch_size {batch_size} must divide the mesh's "
-                    f"data axis ({n_data})"
+                    f"the mesh's data axis ({n_data}) must divide the "
+                    f"serving batch_size ({batch_size})"
                 )
             from vit_ae_plus_plus_tpu.parallel.mesh import replicate
 
@@ -316,10 +330,14 @@ class ClassifierEngine(_SlabEngine):
         pattern = os.path.join(
             work_dir, "checkpoints", f"checkpoint-best_{criterion}_model_*"
         )
-        paths = sorted(
-            glob.glob(pattern),
-            key=lambda p: int(re.search(r"_(\d+)$", p).group(1)),
-        )
+        # keep only real per-fold checkpoints (…_<fold>): glob also matches
+        # e.g. interrupted orbax temp dirs (*.orbax-checkpoint-tmp-*)
+        matches = [
+            (int(m.group(1)), p)
+            for p in glob.glob(pattern)
+            if (m := re.search(r"_(\d+)$", p))
+        ]
+        paths = [p for _, p in sorted(matches)]
         if not paths:
             single = os.path.join(
                 work_dir, "checkpoints", f"checkpoint-best_{criterion}_model"
@@ -364,7 +382,9 @@ class BatchingQueue:
         self._worker.start()
 
     def submit(self, volume: np.ndarray) -> _Pending:
-        pending = _Pending(np.asarray(volume, np.float32))
+        # validate/resize in the CALLER's thread: a malformed request raises
+        # here and cannot fail the other requests batched alongside it
+        pending = _Pending(self.engine.prepare_one(volume))
         with self._cv:
             if self._closed:
                 raise RuntimeError("queue is closed")
@@ -484,7 +504,10 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                     stats["features"] = queue.stats()
                 if classifier_queue is not None:
                     stats["predict"] = classifier_queue.stats()
-                self._json(200, stats if len(stats) > 1 else next(iter(stats.values())))
+                self._json(
+                    200,
+                    next(iter(stats.values())) if len(stats) == 1 else stats,
+                )
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

@@ -90,8 +90,10 @@ def read_nifti(src: Union[str, bytes]) -> np.ndarray:
     )
     # NIfTI data is Fortran-ordered over (x, y, z, ...)
     arr = arr.reshape(shape, order="F").astype(np.float32)
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        arr = arr * (slope if slope != 0.0 else 1.0) + inter
+    # spec: slope == 0 means "no scaling at all" (inter included); NaN slope
+    # appears in tool-written headers and means unscaled too (nibabel's read)
+    if slope != 0.0 and not np.isnan(slope) and (slope != 1.0 or inter != 0.0):
+        arr = arr * slope + (0.0 if np.isnan(inter) else inter)
     return arr
 
 
