@@ -241,3 +241,23 @@ def test_device_resident_sharded_gather_layout():
         assert not raw.sharding.is_fully_replicated
         np.testing.assert_array_equal(np.asarray(raw), wa)
         np.testing.assert_array_equal(np.asarray(lab), np.asarray(wl))
+
+
+def test_loader_set_epoch_resumes_shuffle_schedule():
+    """An interrupted run's fresh Loader fast-forwarded with set_epoch(k)
+    draws exactly the order the uninterrupted loader's epoch-k iteration
+    would have (DistributedSampler.set_epoch semantics, used by the
+    pipelines' --resume paths)."""
+    from vit_ae_plus_plus_tpu.data.loader import Loader
+
+    def orders(loader, n_epochs):
+        out = []
+        for _ in range(n_epochs):
+            out.append([int(l) for _a, _o, labs in loader for l in labs])
+        return out
+
+    uninterrupted = orders(Loader(_IdxDataset(16), 4, seed=7), 3)
+    resumed = Loader(_IdxDataset(16), 4, seed=7)
+    resumed.set_epoch(2)  # skip epochs 0 and 1
+    assert orders(resumed, 1)[0] == uninterrupted[2]
+    assert uninterrupted[1] != uninterrupted[2]  # schedule actually varies

@@ -210,6 +210,40 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         assert f.shape[1] == 24  # trunk cls-token feature width
 
 
+def test_moco_kfold_preemption_resume(synthetic_brats, tmp_path):
+    """Restart safety for the longest-running pipeline: a killed MoCo run
+    resumes at the next epoch with BOTH encoder copies, LARS moments, the
+    best-so-far loss, and the shuffle schedule restored."""
+    import json
+
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    kw = dict(n_splits=2, moco_dim=16, moco_mlp_dim=32, warmup_epochs=1,
+              vit_overrides=dict(patch_size=4, embed_dim=24, depth=1, num_heads=3))
+    work = str(tmp_path / "w")
+
+    # "preempted" after epoch 0
+    train_cfg = TrainConfig(epochs=1, batch_size=4, compute_dtype="float32",
+                            resume=True)
+    moco_kfold(data_cfg, train_cfg, work, epochs=1,
+               folds=None, **kw)
+    # resumed run: 3 total epochs — must start each fold at epoch 1
+    train_cfg3 = TrainConfig(epochs=3, batch_size=4, compute_dtype="float32",
+                             resume=True)
+    results = moco_kfold(data_cfg, train_cfg3, work, epochs=3, **kw)
+    assert set(results) == {0, 1}
+
+    per_fold_epochs = {}
+    with open(tmp_path / "w" / "log.txt") as f:
+        for line in f:
+            rec = json.loads(line)
+            per_fold_epochs.setdefault(rec["fold"], []).append(rec["epoch"])
+    # epoch 0 trained once (first run); 1 and 2 only by the resumed run
+    assert per_fold_epochs[0] == [0, 1, 2] and per_fold_epochs[1] == [0, 1, 2]
+
+
 def test_moco_kfold_on_data_mesh(synthetic_brats, tmp_path):
     """MoCo rides the data mesh like pretrain_kfold (the reference's MoCo is
     its most distributed path — mp.spawn + DDP, main_3d_moco_k_fold.py:153-188):

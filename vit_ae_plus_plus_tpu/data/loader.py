@@ -202,6 +202,11 @@ class DeviceResidentBatches:
         n = self._n
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the shuffle schedule for mid-run resume (same
+        semantics as Loader.set_epoch)."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
         self._epoch += 1
         # LOCAL positions 0..n-1 shuffled with Loader-identical semantics
@@ -299,6 +304,13 @@ class Loader:
                 f"{self.batch_size} (drop_last={self.drop_last})"
             )
         return length
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the shuffle schedule for mid-run resume: the next
+        `__iter__` draws the same global order the uninterrupted run's
+        epoch-`epoch` iteration would have (DistributedSampler.set_epoch
+        semantics)."""
+        self._epoch = int(epoch)
 
     def _batches(self) -> Iterator[np.ndarray]:
         order = epoch_shard(

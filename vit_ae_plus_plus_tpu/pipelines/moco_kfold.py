@@ -247,7 +247,47 @@ def moco_kfold(
         ckpt_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
                                  "checkpoint-min_loss")
         min_loss = float("inf")
-        for epoch in range(epochs):
+        start_epoch = 0
+        # preemption-safe resume (matches pretrain_kfold's semantics): the
+        # full MoCo state — BOTH encoder copies, their BN stats, and the
+        # LARS moments — is checkpointed every epoch and restored with the
+        # best loss so a resumed run cannot overwrite the min-loss ckpt
+        # with worse weights
+        resume_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
+                                   "resume-state")
+        if train_cfg.resume and os.path.exists(resume_path):
+            host_state = jax.device_get(state)
+            template = {
+                "params": host_state.params,
+                "batch_stats": host_state.batch_stats,
+                "momentum_params": host_state.momentum_params,
+                "momentum_batch_stats": host_state.momentum_batch_stats,
+                "opt_state": host_state.opt_state,
+                "step": np.asarray(0, np.int32),
+                "epoch": np.asarray(0),
+                "min_loss": np.asarray(0.0, np.float64),
+            }
+            payload = load_params(resume_path, template)
+            state = state.replace(
+                params=payload["params"], batch_stats=payload["batch_stats"],
+                momentum_params=payload["momentum_params"],
+                momentum_batch_stats=payload["momentum_batch_stats"],
+                opt_state=payload["opt_state"],
+                step=jnp.asarray(payload["step"]),
+            )
+            start_epoch = int(payload["epoch"]) + 1
+            min_loss = float(payload["min_loss"])
+            # restore the fold's device placement (FSDP shards / replication)
+            if state_shardings is not None:
+                state = jax.device_put(state, state_shardings)
+            elif mesh is not None:
+                from vit_ae_plus_plus_tpu.parallel import replicate
+
+                state = replicate(state, mesh)
+            loader.set_epoch(start_epoch)  # resume the shuffle schedule too
+            print(f"Fold {fold_idx}: resumed at epoch {start_epoch} "
+                  f"(min loss so far {min_loss:.4f})")
+        for epoch in range(start_epoch, epochs):
             epoch_losses = []
             batches = (device_prefetch(loader, size=2, sharding=batch_sharding)
                        if mesh is not None else loader)
@@ -270,6 +310,17 @@ def moco_kfold(
                     "batch_stats": jax.device_get(state.batch_stats),
                 })
             jsonl.write({"train_loss": mean_loss, "epoch": epoch, "fold": fold_idx})
+            host_state = jax.device_get(state)
+            save_params(resume_path, {
+                "params": host_state.params,
+                "batch_stats": host_state.batch_stats,
+                "momentum_params": host_state.momentum_params,
+                "momentum_batch_stats": host_state.momentum_batch_stats,
+                "opt_state": host_state.opt_state,
+                "step": np.asarray(host_state.step, np.int32),
+                "epoch": np.asarray(epoch),
+                "min_loss": np.asarray(min_loss, np.float64),
+            })
         results[fold_idx] = {"min_loss": min_loss}
 
         # feature extraction FROM THE SAVED min-loss checkpoint, as the

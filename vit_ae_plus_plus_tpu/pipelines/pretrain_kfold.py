@@ -259,6 +259,8 @@ def pretrain_one_fold(
         if restored_epoch is not None:
             start_epoch = restored_epoch + 1
             min_loss = restored_min  # keep the pre-crash best
+            if hasattr(loader, "set_epoch"):  # device-resident path has none
+                loader.set_epoch(start_epoch)  # resume the shuffle schedule
             print(f"Resumed fold {fold_idx} at epoch {start_epoch} "
                   f"(min loss so far {min_loss:.4f})")
 
