@@ -368,6 +368,16 @@ def test_pp_pretrain_kfold_e2e(tmp_path):
     assert "blocks_0" in params and "decoder_blocks_1" in params
     assert "enc_stack" not in params
 
+    # --fsdp composes with --pipe-devices: same e2e on (data=2, pipe=2)
+    # with stacked leaves ALSO weight-dim-sharded over 'data'
+    train_cfg_z = TrainConfig(epochs=1, batch_size=4, patch_size=4,
+                              warmup_epochs=1, compute_dtype="float32",
+                              contr_weight=0.001, pipe_devices=2, fsdp=True)
+    results_z = pretrain_kfold(data_cfg, train_cfg_z, str(tmp_path / "work_z"),
+                               model_name="contr_mae_vit_tiny_pp_patch4",
+                               n_splits=2, n_devices=4)
+    assert all(np.isfinite(r["min_loss"]) for r in results_z.values())
+
 
 def test_flash_local_matches_naive():
     """The shard_map-safe kernel entry (no custom_partitioning wrapper) is
@@ -385,3 +395,71 @@ def test_flash_local_matches_naive():
     gw = jax.grad(f("xla"))(q)
     gg = jax.grad(f("flash_local"))(q)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=2e-4)
+
+
+def test_pp_fsdp_composition_matches_and_shards_both_axes():
+    """ZeRO composed with GPipe (pp_state_shardings data_axis=): stacked
+    block leaves shard 'pipe' on the stack dim AND 'data' on a weight dim —
+    1/(S*D) params+moments per device — with a step that matches the
+    pipe-only stacked step exactly."""
+    from vit_ae_plus_plus_tpu.parallel.pp import (
+        make_pp_train_step, pp_state_shardings, shard_pp_state, to_pp_params,
+    )
+    from vit_ae_plus_plus_tpu.train.optim import make_adamw
+    from vit_ae_plus_plus_tpu.train.state import TrainState
+
+    cfg, model, variables, v1, v2 = _mae(contrastive=True)
+    mesh = make_pipeline_mesh(2, data=2, devices=jax.devices()[:4])
+    tx = make_adamw(1e-3, weight_decay=0.05)
+
+    def mk_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params), tx=tx,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    ew = jnp.float32(0.0)
+    sp = to_pp_params(variables["params"], cfg.depth, cfg.decoder_depth)
+
+    def run(data_axis):
+        kw = dict(data_axis=data_axis, min_size=0) if data_axis else {}
+        state = shard_pp_state(mk_state(sp), mesh, **kw)
+        shardings = pp_state_shardings(state, mesh, **kw)
+        step = make_pp_train_step(
+            model, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
+            donate=False, stacked_state=True, state_shardings=shardings,
+        )
+        return step(state, v1, v2, rng, ew)
+
+    s_pipe, m_pipe = run(None)
+    s_zero, m_zero = run("data")
+    np.testing.assert_allclose(float(m_zero["loss"]), float(m_pipe["loss"]),
+                               atol=1e-5)
+    for (ka, a), (_kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(s_pipe.params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(s_zero.params)),
+        strict=True,
+    ):
+        # 1e-4 (vs the pipe-only test's 2e-5): splitting contraction dims
+        # over 'data' reorders the f32 reductions feeding AdamW's rsqrt
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+    # per-device storage: stack dim 1/pipe AND one weight dim 1/data, for
+    # params and the AdamW moments alike
+    def assert_both_axes(tree):
+        found_data_sharded = False
+        for leaf in jax.tree.leaves(tree):
+            shard = leaf.addressable_shards[0].data.shape
+            assert shard[0] == leaf.shape[0] // 2, (leaf.shape, shard)
+            if leaf.ndim >= 2 and any(
+                shard[d] == leaf.shape[d] // 2 for d in range(1, leaf.ndim)
+            ):
+                found_data_sharded = True
+        assert found_data_sharded
+
+    assert_both_axes(s_zero.params["enc_stack"])
+    assert_both_axes(s_zero.params["dec_stack"])
+    assert_both_axes(s_zero.opt_state[0].mu["enc_stack"])

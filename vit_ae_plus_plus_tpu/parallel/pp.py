@@ -113,11 +113,22 @@ def from_pp_params(params, depth: int, decoder_depth: Optional[int] = None):
     return out
 
 
-def pp_state_shardings(state, mesh: Mesh, axis: str = "pipe"):
+def pp_state_shardings(state, mesh: Mesh, axis: str = "pipe",
+                       data_axis: Optional[str] = None,
+                       min_size: int = 2**15):
     """NamedSharding tree for a stacked-params TrainState: block-stack leaves
     — any leaf whose tree path passes through 'enc_stack'/'dec_stack', which
     covers params AND the optimizer moments mirroring them — shard dim 0 over
-    mesh[axis]; everything else replicates."""
+    mesh[axis]; everything else replicates.
+
+    `data_axis`: compose ZeRO/FSDP on top of the pipeline — each stacked
+    leaf additionally shards its largest divisible NON-stack dim over
+    mesh[data_axis] (weights + moments then cost 1/(S*D) per device). The
+    pipeline's shard_map is manual over `axis` only, so the data-axis
+    placement stays a regular GSPMD sharding: the partitioner gathers
+    weight shards at their use sites exactly like plain FSDP
+    (parallel/fsdp.py). Leaves below `min_size` elements per stage stay
+    data-replicated (same floor idea as fsdp._MIN_SHARD_ELEMENTS)."""
     from jax.sharding import NamedSharding
 
     def spec(path, leaf):
@@ -125,18 +136,31 @@ def pp_state_shardings(state, mesh: Mesh, axis: str = "pipe"):
             getattr(k, "key", getattr(k, "name", None)) in ("enc_stack", "dec_stack")
             for k in path
         )
-        return NamedSharding(
-            mesh, P(axis) if stacked and getattr(leaf, "ndim", 0) > 0 else P()
-        )
+        ndim = getattr(leaf, "ndim", 0)
+        if not stacked or ndim == 0:
+            return NamedSharding(mesh, P())
+        parts = [axis] + [None] * (ndim - 1)
+        if (data_axis is not None and ndim >= 2
+                and leaf.size // leaf.shape[0] >= min_size):
+            n = mesh.shape[data_axis]
+            for d in sorted(range(1, ndim), key=lambda d: -leaf.shape[d]):
+                if leaf.shape[d] % n == 0:
+                    parts[d] = data_axis
+                    break
+        return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
-def shard_pp_state(state, mesh: Mesh, axis: str = "pipe"):
-    """Commit a stacked-params TrainState to its 1/S placement: after this,
-    per-device block weight/moment memory is depth/S layers."""
+def shard_pp_state(state, mesh: Mesh, axis: str = "pipe",
+                   data_axis: Optional[str] = None,
+                   min_size: int = 2**15):
+    """Commit a stacked-params TrainState to its 1/S placement (1/(S*D)
+    with `data_axis` — see pp_state_shardings)."""
     return jax.tree.map(
-        jax.device_put, state, pp_state_shardings(state, mesh, axis)
+        jax.device_put, state,
+        pp_state_shardings(state, mesh, axis, data_axis=data_axis,
+                           min_size=min_size),
     )
 
 

@@ -159,7 +159,11 @@ def pretrain_one_fold(
         )
         sp = to_pp_params(state.params, mae_cfg.depth, mae_cfg.decoder_depth)
         state = state.replace(params=sp, opt_state=tx.init(sp))
-        shardings = pp_state_shardings(state, mesh)
+        # --fsdp composes: stacked leaves also shard a weight dim over
+        # 'data' (1/(pipe*data) params+moments per device; the data-axis
+        # placement is ordinary GSPMD outside the pipe-manual shard_map)
+        pp_data_axis = "data" if getattr(train_cfg, "fsdp", False) else None
+        shardings = pp_state_shardings(state, mesh, data_axis=pp_data_axis)
         state = jax.tree.map(jax.device_put, state, shardings)
         step = make_pp_train_step(
             model, mae_cfg.patch_size, mesh,
@@ -472,13 +476,16 @@ def pretrain_kfold(
     mesh = None
     pipe = getattr(train_cfg, "pipe_devices", 1) or 1
     if getattr(train_cfg, "fsdp", False):
-        if pipe > 1:
-            raise ValueError(
-                "--fsdp is mutually exclusive with --pipe-devices: the "
-                "pipeline already keeps params+moments 1/S-sharded over 'pipe'"
-            )
+        # composes with --pipe-devices: the pipeline keeps stacks 1/S over
+        # 'pipe'; --fsdp additionally shards their weight dims over 'data'
+        # for 1/(S*data) params+moments per device (pp_state_shardings)
         if n_devices is None or n_devices <= 1:
             raise ValueError("--fsdp needs a data mesh (--n-devices > 1)")
+        if pipe > 1 and (n_devices // pipe) <= 1:
+            raise ValueError(
+                "--fsdp with --pipe-devices needs a data axis > 1 "
+                f"(got n_devices={n_devices}, pipe={pipe})"
+            )
     if pipe > 1:
         from vit_ae_plus_plus_tpu.parallel.pp import make_pipeline_mesh
 
