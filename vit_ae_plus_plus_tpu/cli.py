@@ -267,6 +267,11 @@ def main(argv=None):
                           "the trained checkpoint)")
     exp.add_argument("--seed", type=int, default=42)
 
+    sub.add_parser("doctor",
+                   help="environment diagnostics: backend/devices, "
+                        "compilation cache, native augmenter, virtual-mesh "
+                        "flags, versions (utils/doctor.py)")
+
     prep = sub.add_parser("prepare-data")
     prep.add_argument("kind", choices=["brats", "egd"])
     prep.add_argument("--volumes", help="brats: flair_all.npy")
@@ -303,6 +308,11 @@ def main(argv=None):
         else:
             print(format_table(table))
         return 0
+
+    if args.cmd == "doctor":
+        from vit_ae_plus_plus_tpu.utils.doctor import run_doctor
+
+        return run_doctor()
 
     if args.cmd == "serve":
         from vit_ae_plus_plus_tpu.serving import serve
