@@ -210,3 +210,69 @@ def test_ring_attention_rotates_and_never_gathers():
     assert any(k == "all-gather" and e >= full_kv for k, e, _ in seq), (
         f"flash_seq shows no full-K/V all-gather (expected >= {full_kv}): {seq}"
     )
+
+
+def test_pp_fsdp_gathers_weight_slices_not_activations():
+    """ZeRO x GPipe (pp_state_shardings data_axis='data'): the compiled
+    stacked-state step must ride the pipeline's collective-permute ring AND
+    gather only per-stage weight-shard slices — no all-gather may output
+    anything as large as a microbatch residual activation, let alone a
+    patchified volume."""
+    from vit_ae_plus_plus_tpu.parallel.pp import (
+        make_pipeline_mesh, make_pp_train_step, pp_state_shardings,
+        shard_pp_state, to_pp_params,
+    )
+    from vit_ae_plus_plus_tpu.train.state import TrainState
+
+    cfg = MAEConfig(
+        volume_size=16, patch_size=4, in_chans=1, embed_dim=32, depth=2,
+        num_heads=2, decoder_embed_dim=24, decoder_depth=2,
+        decoder_num_heads=4, contrastive=True, attn_impl="xla",
+        # the production recipe (pretrain_kfold --fsdp --pipe-devices): pin
+        # the residual stream P('data') inside the pipeline stages so the
+        # partitioner gathers weight shards, not activations
+        batch_shard_activations=True,
+    )
+    mae = MaskedAutoencoderViT3D(cfg)
+    mesh = make_pipeline_mesh(2, data=4)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (8, 1, 16, 16, 16))
+    variables = mae.init(
+        {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)},
+        batch, batch,
+    )
+    tx = make_adamw(1e-3)
+    sp = to_pp_params(variables["params"], cfg.depth, cfg.decoder_depth)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=sp,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(sp), tx=tx,
+    )
+    # min_size 512: weight matrices shard over 'data'; small biases/norm
+    # scales stay replicated (the production floor behaviour)
+    state = shard_pp_state(state, mesh, data_axis="data", min_size=512)
+    shardings = pp_state_shardings(state, mesh, data_axis="data", min_size=512)
+    step = make_pp_train_step(
+        mae, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
+        donate=False, stacked_state=True, state_shardings=shardings,
+    )
+    v = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        text = step.lower(
+            state, v, v, jax.random.PRNGKey(3), jnp.float32(0.0)
+        ).compile().as_text()
+    cols = collectives(text)
+    kinds = Counter(k for k, _, _ in cols)
+
+    assert kinds["collective-permute"] >= 1, "no pipeline ring in the program"
+    assert kinds["all-gather"] >= 1, "no weight gathers: ZeRO sharding inert?"
+    # largest legitimate gather: ONE stage-layer slice of the biggest stacked
+    # leaf (mlp Dense_0 kernel (L, 32, 128) -> (1, 32, 128) = 4096 elems);
+    # a microbatch residual is (B/M)(1+N)C = 4*65*32 = 8320 and the
+    # patchified volume 8*64*64 = 32768 — both must never be gathered
+    max_weight_slice = 32 * 32 * 4
+    for kind, elems, shapes in cols:
+        if kind in ("all-gather", "all-to-all"):
+            assert elems <= max_weight_slice, (
+                f"{kind} outputs {elems} elems {shapes} > one weight slice "
+                f"({max_weight_slice}): the composition is moving activations"
+            )

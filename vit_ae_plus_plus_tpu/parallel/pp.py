@@ -197,6 +197,11 @@ def make_block_apply(cfg, deterministic: bool = True, num_heads: Optional[int] =
         attn_impl=impl,
         dtype=_dt(cfg.dtype),
         ln_fusion=getattr(cfg, "ln_fusion", "auto"),
+        # honoured inside the pipe-manual shard_map too ('data' stays an
+        # auto axis): pins the residual stream P('data') so a ZeRO-composed
+        # run gathers weight shards, not activations (the FSDP lesson,
+        # parallel/fsdp.py) — requires an ambient jax.set_mesh
+        batch_constraint=getattr(cfg, "batch_shard_activations", False),
     )
     return lambda layer_params, x: blk.apply({"params": layer_params}, x, deterministic)
 

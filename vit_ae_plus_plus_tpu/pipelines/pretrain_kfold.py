@@ -161,8 +161,17 @@ def pretrain_one_fold(
         state = state.replace(params=sp, opt_state=tx.init(sp))
         # --fsdp composes: stacked leaves also shard a weight dim over
         # 'data' (1/(pipe*data) params+moments per device; the data-axis
-        # placement is ordinary GSPMD outside the pipe-manual shard_map)
+        # placement is ordinary GSPMD outside the pipe-manual shard_map).
+        # The residual stream pins P('data') per block (constrain_batch,
+        # honoured inside the shard_map stages) so weight shards move, not
+        # activations — resolved through the ambient mesh, hence set_mesh.
         pp_data_axis = "data" if getattr(train_cfg, "fsdp", False) else None
+        if pp_data_axis is not None:
+            import dataclasses as _dc
+
+            mae_cfg = _dc.replace(mae_cfg, batch_shard_activations=True)
+            model = build_model(mae_cfg)
+            jax.set_mesh(mesh)
         shardings = pp_state_shardings(state, mesh, data_axis=pp_data_axis)
         state = jax.tree.map(jax.device_put, state, shardings)
         step = make_pp_train_step(
