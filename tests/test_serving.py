@@ -232,6 +232,35 @@ def test_bad_request_cannot_poison_a_cobatched_slab(ckpt, engine):
         q.close()
 
 
+def test_queue_sheds_load_at_max_depth(engine):
+    """Bounded admission: past max_depth submit() raises QueueFull (HTTP
+    429), the queue still drains everything it accepted, and stats count
+    the shed requests."""
+    import time as _time
+
+    from vit_ae_plus_plus_tpu.serving import QueueFull
+
+    q = BatchingQueue(engine, max_wait_ms=1.0, max_depth=3)
+    try:
+        vols = _vols(6, seed=13)
+        q.infer_one(vols[5])  # worker warm and idle
+        with engine._lock:  # stall the device: the worker blocks in infer
+            first = q.submit(vols[0])
+            _time.sleep(0.3)  # worker pops it into a slab, hits the lock
+            accepted = [q.submit(vols[i]) for i in (1, 2, 3)]  # queue -> 3
+            with pytest.raises(QueueFull, match="capacity"):
+                q.submit(vols[4])
+        for p in [first, *accepted]:  # accepted work still completes
+            assert p.event.wait(120) and p.error is None
+        stats = q.stats()
+        assert stats["total_shed"] == 1 and stats["total_requests"] == 5
+        # capacity frees up as the queue drains
+        out = q.infer_one(vols[4])
+        assert out.shape == (engine.feature_dim,)
+    finally:
+        q.close()
+
+
 def test_stats_endpoint_with_no_queues_returns_empty():
     import json
 

@@ -349,6 +349,11 @@ class ClassifierEngine(_SlabEngine):
         return cls(paths, **kwargs)
 
 
+class QueueFull(RuntimeError):
+    """Raised by BatchingQueue.submit when admission is at max_depth —
+    mapped to HTTP 429 by the server front."""
+
+
 class _Pending:
     __slots__ = ("volume", "event", "result", "error", "t_submit")
 
@@ -368,9 +373,14 @@ class BatchingQueue:
     slab — bounded added latency, maximal MXU occupancy under load."""
 
     def __init__(self, engine: FeatureEngine, max_wait_ms: float = 5.0,
-                 max_history: int = 1024):
+                 max_history: int = 1024, max_depth: Optional[int] = None):
+        """`max_depth`: bounded admission (load shedding) — submit() raises
+        QueueFull once this many requests are waiting, so overload turns
+        into fast 429s instead of unbounded latency. Default: 32 slabs'
+        worth of requests."""
         self.engine = engine
         self.max_wait_s = max_wait_ms / 1e3
+        self.max_depth = max_depth if max_depth is not None else 32 * engine.batch_size
         self._queue: deque = deque()
         self._cv = threading.Condition()
         self._closed = False
@@ -378,6 +388,7 @@ class BatchingQueue:
         self._fills: deque = deque(maxlen=max_history)
         self._total_requests = 0
         self._total_batches = 0
+        self._total_shed = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -388,6 +399,11 @@ class BatchingQueue:
         with self._cv:
             if self._closed:
                 raise RuntimeError("queue is closed")
+            if len(self._queue) >= self.max_depth:
+                self._total_shed += 1
+                raise QueueFull(
+                    f"serving queue at capacity ({self.max_depth} waiting)"
+                )
             self._queue.append(pending)
             self._total_requests += 1
             self._cv.notify()
@@ -444,6 +460,8 @@ class BatchingQueue:
         return {
             "total_requests": self._total_requests,
             "total_batches": self._total_batches,
+            "total_shed": self._total_shed,
+            "queue_depth": len(self._queue),
             "mean_batch_fill": float(np.mean(self._fills)) if self._fills else 0.0,
             "latency_p50_ms": round(pct(0.50) * 1e3, 3),
             "latency_p95_ms": round(pct(0.95) * 1e3, 3),
@@ -554,6 +572,8 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                     })
                 else:
                     self._json(404, {"error": f"unknown path {self.path}"})
+            except QueueFull as e:
+                self._json(429, {"error": str(e)})  # shed load, retry later
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
