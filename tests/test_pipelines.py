@@ -210,6 +210,43 @@ def test_moco_kfold_end_to_end(synthetic_brats, tmp_path):
         assert f.shape[1] == 24  # trunk cls-token feature width
 
 
+def test_probe_kfold_preemption_resume(synthetic_brats, tmp_path):
+    """Restart safety for probe/finetune-kfold: a killed run resumes at the
+    next epoch with the optimizer, shuffle schedule, and the best-model
+    tracker's bests restored."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+    from vit_ae_plus_plus_tpu.pipelines.probe_kfold import probe_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    pre_cfg = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                          compute_dtype="float32", contr_weight=0.001)
+    pre = str(tmp_path / "pre")
+    pretrain_kfold(data_cfg, pre_cfg, pre,
+                   model_name="contr_mae_vit_tiny_patch4", n_splits=2)
+
+    work = str(tmp_path / "probe")
+    cfg1 = TrainConfig(epochs=1, batch_size=4, patch_size=4, warmup_epochs=1,
+                       compute_dtype="float32", resume=True)
+    probe_kfold(data_cfg, cfg1, work, pre,
+                model_name="contr_mae_vit_tiny_patch4", n_splits=2,
+                fix_backbone=True, epochs=1)
+    cfg3 = TrainConfig(epochs=3, batch_size=4, patch_size=4, warmup_epochs=1,
+                       compute_dtype="float32", resume=True)
+    results = probe_kfold(data_cfg, cfg3, work, pre,
+                          model_name="contr_mae_vit_tiny_patch4", n_splits=2,
+                          fix_backbone=True, epochs=3)
+    assert set(results) == {0, 1}
+
+    per_fold = {}
+    with open(os.path.join(work, "log.txt")) as f:
+        for line in f:
+            rec = json.loads(line)
+            per_fold.setdefault(rec["fold"], []).append(rec["epoch"])
+    # epoch 0 trained once; 1 and 2 only by the resumed run
+    assert per_fold[0] == [0, 1, 2] and per_fold[1] == [0, 1, 2]
+
+
 def test_moco_kfold_preemption_resume(synthetic_brats, tmp_path):
     """Restart safety for the longest-running pipeline: a killed MoCo run
     resumes at the next epoch with BOTH encoder copies, LARS moments, the

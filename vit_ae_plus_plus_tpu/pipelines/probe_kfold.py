@@ -34,7 +34,7 @@ from vit_ae_plus_plus_tpu.pipelines.finetune import (
 )
 from vit_ae_plus_plus_tpu.pipelines.transfer import mae_params_to_vit
 from vit_ae_plus_plus_tpu.train import TrainState, warmup_cosine_schedule
-from vit_ae_plus_plus_tpu.train.checkpoint import load_params
+from vit_ae_plus_plus_tpu.train.checkpoint import load_params, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
 
@@ -134,6 +134,41 @@ def probe_kfold(
 
         tracker = BestModelTracker(os.path.join(work_dir, "checkpoints"))
         rng = jax.random.PRNGKey(train_cfg.seed + fold_idx)
+        # preemption-safe resume (pretrain/moco semantics): params +
+        # optimizer + the tracker's best-so-far metrics checkpointed every
+        # epoch; restoring the bests keeps a resumed run from overwriting a
+        # better best-model checkpoint with worse weights
+        start_epoch = 0
+        resume_on = getattr(train_cfg, "resume", False) and not eval_only
+        resume_path = os.path.join(work_dir, "checkpoints",
+                                   f"resume_fold_{fold_idx}")
+
+        def _resume_payload(epoch):
+            host = jax.device_get(state)
+            return {
+                "params": host.params, "opt_state": host.opt_state,
+                "step": np.asarray(host.step, np.int32),
+                "epoch": np.asarray(epoch),
+                "bests": {c: np.asarray(tracker.best[c], np.float64)
+                          for c in tracker.criteria},
+            }
+
+        if resume_on and os.path.exists(resume_path):
+            payload = load_params(resume_path, _resume_payload(0))
+            state = state.replace(
+                params=payload["params"], opt_state=payload["opt_state"],
+                step=jnp.asarray(payload["step"]),
+            )
+            if mesh is not None:
+                from vit_ae_plus_plus_tpu.parallel import replicate
+
+                state = replicate(state, mesh)
+            start_epoch = int(payload["epoch"]) + 1
+            tracker.best = {c: float(payload["bests"][c])
+                            for c in tracker.criteria}
+            loader.set_epoch(start_epoch)
+            print(f"Probe fold {fold_idx}: resumed at epoch {start_epoch} "
+                  f"(bests {tracker.best})")
         val_loader = Loader(dataset_no_aug, train_cfg.batch_size, indices=val_ids,
                             shuffle=False, drop_last=False)
         # the probe reference logs the same train_ft/val_ft TensorBoard
@@ -148,7 +183,7 @@ def probe_kfold(
         from vit_ae_plus_plus_tpu.train.metrics import MetricLogger
 
         n_iter = max(len(loader), 1)
-        for epoch in range(0 if eval_only else epochs):
+        for epoch in range(start_epoch, 0 if eval_only else epochs):
             logger = MetricLogger()
             for it, (aug, _orig, lab) in enumerate(
                 logger.log_every(loader, header=f"Probe fold {fold_idx} Epoch [{epoch}]")
@@ -171,6 +206,8 @@ def probe_kfold(
             jsonl.write({**{f"train_val_{k}": v for k, v in train_stats.items()},
                          **{f"val_{k}": v for k, v in val_stats.items()},
                          "epoch": epoch, "fold": fold_idx})
+            if resume_on:
+                save_params(resume_path, _resume_payload(epoch))
 
         # final test evaluation of the three best checkpoints
         test_loader = Loader(dataset_no_aug, train_cfg.batch_size, indices=test_ids,
