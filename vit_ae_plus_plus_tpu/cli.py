@@ -325,9 +325,11 @@ def main(argv=None):
             from vit_ae_plus_plus_tpu.parallel import make_mesh
 
             mesh = make_mesh(data=args.n_devices)
-        ckpt = args.checkpoint
-        if "," not in ckpt:  # (resolve passes local paths through untouched)
-            ckpt = resolve_checkpoint_path(ckpt)
+        # resolve URLs (each element of a comma list individually); local
+        # paths pass through untouched
+        ckpt = ",".join(
+            resolve_checkpoint_path(c) for c in args.checkpoint.split(",")
+        )
         serve(
             ckpt, model_name=args.model,
             volume_size=args.volume_size, in_chans=args.in_channels,

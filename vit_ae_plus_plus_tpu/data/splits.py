@@ -134,28 +134,37 @@ def ingest_nifti_volumes(
             )
         label_by_name[row[0].strip()] = lab
 
-    vols, labels = [], []
-    shape = None
     for p in paths:
-        name = stem(p)
-        if name not in label_by_name:
-            raise KeyError(f"{name} (from {p}) has no row in {labels_csv}")
+        if stem(p) not in label_by_name:
+            raise KeyError(f"{stem(p)} (from {p}) has no row in {labels_csv}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    volumes_path = os.path.join(out_dir, "volumes_all.npy")
+    labels_path = os.path.join(out_dir, "labels_all.npy")
+    # stream scans straight into an on-disk npy memmap: a real BraTS corpus
+    # is tens of GB — holding every decoded scan in RAM plus an np.stack
+    # copy would OOM a typical host
+    store = None
+    shape = None
+    labels = []
+    for i, p in enumerate(paths):
         v = read_nifti(p)
         if v.ndim != 3:
             raise ValueError(f"{p}: expected a 3-D scan, got {v.ndim}-D")
         if shape is None:
             shape = v.shape
+            store = np.lib.format.open_memmap(
+                volumes_path, mode="w+", dtype=np.float32,
+                shape=(len(paths), *shape, 1),  # channel-last (brats.py:17)
+            )
         elif v.shape != shape:
             raise ValueError(f"{p}: shape {v.shape} != first scan's {shape}")
-        vols.append(v[..., None])  # trailing channel dim (brats.py:17 layout)
-        labels.append(label_by_name[name])
-
-    os.makedirs(out_dir, exist_ok=True)
-    volumes_path = os.path.join(out_dir, "volumes_all.npy")
-    labels_path = os.path.join(out_dir, "labels_all.npy")
-    np.save(volumes_path, np.stack(vols).astype(np.float32))
+        store[i, ..., 0] = v
+        labels.append(label_by_name[stem(p)])
+    store.flush()
+    del store
     np.save(labels_path, np.asarray(labels, np.int64))
-    print(f"ingested {len(vols)} NIfTI scans of shape {shape} -> {volumes_path}")
+    print(f"ingested {len(paths)} NIfTI scans of shape {shape} -> {volumes_path}")
     return volumes_path, labels_path
 
 

@@ -261,9 +261,13 @@ class ClassifierEngine(_SlabEngine):
                     f"the mesh's data axis ({n_data}) must divide the "
                     f"serving batch_size ({batch_size})"
                 )
-            from vit_ae_plus_plus_tpu.parallel.mesh import replicate
+            if quantize == "none":
+                # the int8 path rebuilds its trees below — jit's in_shardings
+                # place the quantized arrays; replicating the f32 originals
+                # first would just burn k full-model HBM copies
+                from vit_ae_plus_plus_tpu.parallel.mesh import replicate
 
-            self._params_list = [replicate(v, mesh) for v in self._params_list]
+                self._params_list = [replicate(v, mesh) for v in self._params_list]
 
         if quantize == "int8":
             # int8 trunk (models/quant.py double-rate MXU path) + the tiny
@@ -354,6 +358,10 @@ class QueueFull(RuntimeError):
     mapped to HTTP 429 by the server front."""
 
 
+class _BodyTooLarge(RuntimeError):
+    """Request body over the server's max_body_mb — mapped to HTTP 413."""
+
+
 class _Pending:
     __slots__ = ("volume", "event", "result", "error", "t_submit")
 
@@ -393,21 +401,28 @@ class BatchingQueue:
         self._worker.start()
 
     def submit(self, volume: np.ndarray) -> _Pending:
-        # validate/resize in the CALLER's thread: a malformed request raises
-        # here and cannot fail the other requests batched alongside it
-        pending = _Pending(self.engine.prepare_one(volume))
+        return self.submit_many([volume])[0]
+
+    def submit_many(self, volumes) -> list:
+        """Atomically admit a whole request's volumes — all or QueueFull.
+        Partial admission would compute (then discard) the admitted prefix
+        of a 429'd request, amplifying load exactly when shedding it.
+        Validation/resizing runs in the CALLER's thread so a malformed
+        request raises alone, never failing co-batched requests."""
+        pendings = [_Pending(self.engine.prepare_one(v)) for v in volumes]
         with self._cv:
             if self._closed:
                 raise RuntimeError("queue is closed")
-            if len(self._queue) >= self.max_depth:
-                self._total_shed += 1
+            if len(self._queue) + len(pendings) > self.max_depth:
+                self._total_shed += len(pendings)
                 raise QueueFull(
-                    f"serving queue at capacity ({self.max_depth} waiting)"
+                    f"serving queue at capacity ({len(self._queue)} waiting, "
+                    f"request of {len(pendings)} > {self.max_depth} limit)"
                 )
-            self._queue.append(pending)
-            self._total_requests += 1
+            self._queue.extend(pendings)
+            self._total_requests += len(pendings)
             self._cv.notify()
-        return pending
+        return pendings
 
     def infer_one(self, volume: np.ndarray, timeout: float = 120.0) -> np.ndarray:
         pending = self.submit(volume)
@@ -477,7 +492,8 @@ class BatchingQueue:
 
 def make_http_server(queue: Optional[BatchingQueue] = None,
                      host: str = "127.0.0.1", port: int = 8000,
-                     classifier_queue: Optional[BatchingQueue] = None):
+                     classifier_queue: Optional[BatchingQueue] = None,
+                     max_body_mb: int = 1024):
     """ThreadingHTTPServer over BatchingQueue(s).
 
     POST /features — body: ``.npy`` bytes of one (C,S,S,S) volume or an
@@ -485,13 +501,22 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
     (requires `queue` over a FeatureEngine).
     POST /predict — same body; response: JSON {probs, pred, num_folds}
     (requires `classifier_queue` over a ClassifierEngine).
-    GET /healthz — liveness; GET /stats — batching statistics JSON."""
+    GET /healthz — liveness; GET /stats — batching statistics JSON.
+    Failure codes: 400 malformed request, 413 body over `max_body_mb`,
+    429 queue at capacity (retry later), 500 server-side inference error,
+    504 inference timeout."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    class _Server(ThreadingHTTPServer):
+        # join handler threads on server_close(): a SIGTERM drain must let
+        # already-computed responses finish writing, not kill their threads
+        daemon_threads = False
+        block_on_close = True
+
     def _gather(q: BatchingQueue, arr: np.ndarray) -> np.ndarray:
-        # submit the whole stack before waiting so it batches as one
-        # (or a few) slabs rather than serialising volume-by-volume
-        pendings = [q.submit(v) for v in arr]
+        # admit the whole stack atomically (all-or-429) and only then wait,
+        # so it batches as one (or a few) slabs rather than serialising
+        pendings = q.submit_many(list(arr))
         out = []
         for p in pendings:
             if not p.event.wait(300):
@@ -531,6 +556,10 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
 
         def _read_volumes(self, engine) -> np.ndarray:
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_mb * 2**20:
+                raise _BodyTooLarge(
+                    f"body {length} bytes > max_body_mb={max_body_mb}"
+                )
             body = self.rfile.read(length)
             if body[:6] == b"\x93NUMPY":
                 arr = np.load(io.BytesIO(body), allow_pickle=False)
@@ -574,10 +603,16 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                     self._json(404, {"error": f"unknown path {self.path}"})
             except QueueFull as e:
                 self._json(429, {"error": str(e)})  # shed load, retry later
-            except Exception as e:
+            except _BodyTooLarge as e:
+                self._json(413, {"error": str(e)})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})  # server-side: retryable
+            except ValueError as e:  # malformed body/shape: client fault
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # device/runtime failure: server fault
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return _Server((host, port), Handler)
 
 
 def serve(
@@ -664,5 +699,7 @@ def serve(
     finally:
         signal.signal(signal.SIGTERM, prev)
         server.shutdown()
-        queue.close()
+        queue.close()  # drains already-accepted requests
+        server.server_close()  # block_on_close: join handler threads so
+        # computed responses finish writing before the process exits
         print("server stopped", flush=True)
