@@ -261,6 +261,61 @@ def test_queue_sheds_load_at_max_depth(engine):
         q.close()
 
 
+def test_submit_many_is_atomic(engine):
+    """A multi-volume request over remaining capacity sheds WHOLE (no
+    admitted prefix to compute-then-discard)."""
+    from vit_ae_plus_plus_tpu.serving import QueueFull
+
+    q = BatchingQueue(engine, max_wait_ms=1.0, max_depth=2)
+    try:
+        q.infer_one(_vols(1)[0])  # worker warm and idle
+        with engine._lock:
+            stalled = q.submit(_vols(1, seed=30)[0])
+            import time as _time
+
+            _time.sleep(0.3)  # worker holds it, blocked on the engine
+            with pytest.raises(QueueFull):
+                q.submit_many(list(_vols(3, seed=31)))  # 3 > depth 2: all shed
+            assert q.stats()["queue_depth"] == 0  # nothing admitted
+            ok = q.submit_many(list(_vols(2, seed=32)))  # exactly fits
+        assert stalled.event.wait(120) and stalled.error is None
+        for p in ok:
+            assert p.event.wait(120) and p.error is None
+        assert q.stats()["total_shed"] == 3
+    finally:
+        q.close()
+
+
+def test_http_body_size_cap(engine):
+    q = BatchingQueue(engine, max_wait_ms=1.0)
+    server = make_http_server(queue=q, host="127.0.0.1", port=0, max_body_mb=1)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        big = np.zeros((80, 1, VOL, VOL, VOL), np.float32)  # ~1.3 MB body
+        buf = io.BytesIO()
+        np.save(buf, big, allow_pickle=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 413
+        # under the cap still serves
+        small = _vols(1, seed=33)
+        buf = io.BytesIO()
+        np.save(buf, small, allow_pickle=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+    finally:
+        server.shutdown()
+        server.server_close()
+        q.close()
+
+
 def test_stats_endpoint_with_no_queues_returns_empty():
     import json
 
