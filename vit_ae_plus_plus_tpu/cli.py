@@ -207,41 +207,49 @@ def main(argv=None):
                       help="steps captured in the trace (divides totals)")
     prof.add_argument("--json", action="store_true", help="machine-readable output")
 
+    def _engine_args(p, for_compile: bool):
+        p.add_argument("--checkpoint", required=for_compile,
+                       help="orbax flat MAE params checkpoint; for "
+                            "--task classify: fine-tuned classifier "
+                            "checkpoint(s) (comma-separated) or a "
+                            "finetune-kfold work dir (fold ensemble)")
+        p.add_argument("--task", default="features",
+                       choices=["features", "classify"],
+                       help="features: SSL features from an MAE ckpt; "
+                            "classify: fold-mean softmax ensemble from "
+                            "fine-tuned classifier ckpts")
+        p.add_argument("--num-classes", type=int, default=2)
+        p.add_argument("--ensemble-criterion", default="ft",
+                       choices=["ft", "spec", "sens"],
+                       help="which per-fold best model to ensemble when "
+                            "--checkpoint is a finetune work dir")
+        p.add_argument("--model", default="contr_mae_vit_base_patch16")
+        p.add_argument("--volume-size", type=int, default=96)
+        p.add_argument("--in-channels", type=int, default=1)
+        p.add_argument("--patch-size", type=int, default=8)
+        p.add_argument("--batch-size", type=int, default=8,
+                       help="serving slab size (compiled once; requests are "
+                            "dynamic-batched and padded to it)")
+        p.add_argument("--compute-dtype", default="bfloat16",
+                       choices=["float32", "bfloat16"])
+        p.add_argument("--quantize", default="none", choices=["none", "int8"])
+        p.add_argument("--normalize", default="none",
+                       choices=["none", "zscore"],
+                       help="zscore: per-channel z-score each request volume "
+                            "(the datasets' semantics)")
+        p.add_argument("--resize-inputs", action="store_true",
+                       help="trilinear-resample mismatched spatial dims to "
+                            "the model's volume size instead of rejecting")
+
     srv = sub.add_parser(
         "serve",
         help="dynamic-batching HTTP feature-inference server (serving.py): "
              "POST /features with .npy volumes, GET /healthz, GET /stats")
-    srv.add_argument("--checkpoint", required=True,
-                     help="orbax flat MAE params checkpoint; for "
-                          "--task classify: fine-tuned classifier "
-                          "checkpoint(s) (comma-separated) or a "
-                          "finetune-kfold work dir (fold ensemble)")
-    srv.add_argument("--task", default="features",
-                     choices=["features", "classify"],
-                     help="features: POST /features from an MAE ckpt; "
-                          "classify: POST /predict (fold-mean softmax "
-                          "ensemble) from fine-tuned classifier ckpts")
-    srv.add_argument("--num-classes", type=int, default=2)
-    srv.add_argument("--ensemble-criterion", default="ft",
-                     choices=["ft", "spec", "sens"],
-                     help="which per-fold best model to ensemble when "
-                          "--checkpoint is a finetune work dir")
-    srv.add_argument("--model", default="contr_mae_vit_base_patch16")
-    srv.add_argument("--volume-size", type=int, default=96)
-    srv.add_argument("--in-channels", type=int, default=1)
-    srv.add_argument("--patch-size", type=int, default=8)
-    srv.add_argument("--batch-size", type=int, default=8,
-                     help="serving slab size (compiled once; requests are "
-                          "dynamic-batched and padded to it)")
-    srv.add_argument("--compute-dtype", default="bfloat16",
-                     choices=["float32", "bfloat16"])
-    srv.add_argument("--quantize", default="none", choices=["none", "int8"])
-    srv.add_argument("--normalize", default="none", choices=["none", "zscore"],
-                     help="zscore: per-channel z-score each request volume "
-                          "(the datasets' semantics)")
-    srv.add_argument("--resize-inputs", action="store_true",
-                     help="trilinear-resample mismatched spatial dims to "
-                          "the model's volume size instead of rejecting")
+    _engine_args(srv, for_compile=False)
+    srv.add_argument("--engine", default=None,
+                     help="precompiled .vitae engine artifact "
+                          "(compile-engine); skips model build, trace AND "
+                          "compile — every other engine flag is ignored")
     srv.add_argument("--max-wait-ms", type=float, default=5.0,
                      help="dynamic-batching gather window")
     srv.add_argument("--n-devices", type=int, default=None,
@@ -249,6 +257,15 @@ def main(argv=None):
                           "many chips (must divide the batch size)")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
+
+    ce = sub.add_parser(
+        "compile-engine",
+        help="AOT-compile a serving engine into a .vitae artifact "
+             "(serving_aot.py): serve --engine loads it with no model "
+             "build, no trace, no XLA compile — cold-start becomes a file "
+             "read. Device-specific: build on the deployment platform.")
+    _engine_args(ce, for_compile=True)
+    ce.add_argument("--out", required=True, help="output .vitae path")
 
     exp = sub.add_parser(
         "export-torch",
@@ -320,6 +337,14 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        if args.engine is not None:
+            serve(
+                engine_path=args.engine, max_wait_ms=args.max_wait_ms,
+                host=args.host, port=args.port,
+            )
+            return 0
+        if args.checkpoint is None:
+            parser.error("serve needs --checkpoint or --engine")
         mesh = None
         if args.n_devices and args.n_devices > 1:
             from vit_ae_plus_plus_tpu.parallel import make_mesh
@@ -341,6 +366,35 @@ def main(argv=None):
             ensemble_criterion=args.ensemble_criterion,
             resize=args.resize_inputs,
         )
+        return 0
+
+    if args.cmd == "compile-engine":
+        from vit_ae_plus_plus_tpu.serving import build_engine
+        from vit_ae_plus_plus_tpu.serving_aot import save_engine
+        from vit_ae_plus_plus_tpu.train.checkpoint import resolve_checkpoint_path
+        from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        ckpt = ",".join(
+            resolve_checkpoint_path(c) for c in args.checkpoint.split(",")
+        )
+        engine = build_engine(
+            ckpt, task=args.task, model_name=args.model,
+            volume_size=args.volume_size, in_chans=args.in_channels,
+            patch_size=args.patch_size, batch_size=args.batch_size,
+            compute_dtype=args.compute_dtype, quantize=args.quantize,
+            normalize=args.normalize, num_classes=args.num_classes,
+            ensemble_criterion=args.ensemble_criterion,
+            resize=args.resize_inputs,
+        )
+        meta = save_engine(engine, args.out)
+        import os
+
+        print(f"wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MB): "
+              f"{meta['kind']}, batch {meta['batch_size']}, "
+              f"volume {tuple(meta['volume_shape'])}, "
+              f"quantize={meta['quantize']}, "
+              f"{meta['platform']}/{meta['device_kind']}")
         return 0
 
     if args.cmd == "export-torch":

@@ -149,17 +149,29 @@ def quant_forward_features(params: Any, cfg: ViTConfig, volume: jnp.ndarray,
     return x[:, 0].astype(jnp.float32)
 
 
-def make_quant_feature_step(cfg: ViTConfig, params: Any, mesh=None):
-    """jitted (batch,) -> features closure over pre-quantized params
-    (the int8 counterpart of train/step.py::make_feature_step)."""
-    qparams = quantize_params(jax.tree.map(lambda x: x, params))
+def make_quant_feature_fn(cfg: ViTConfig, mesh=None):
+    """jitted (qparams, batch) -> features. Two-arg form so the params tree
+    stays a runtime argument — required by the AOT engine serializer
+    (serving_aot.py), which must lower a function whose weights are inputs,
+    not trace-time constants embedded in the executable."""
 
-    def step_fn(batch):
+    def step_fn(qparams, batch):
         return quant_forward_features(qparams, cfg, batch, quantized=True)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(step_fn, in_shardings=data, out_shardings=data)
+        return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=data)
     return jax.jit(step_fn)
+
+
+def make_quant_feature_step(cfg: ViTConfig, params: Any, mesh=None):
+    """jitted (batch,) -> features closure over pre-quantized params
+    (the int8 counterpart of train/step.py::make_feature_step)."""
+    qparams = quantize_params(jax.tree.map(lambda x: x, params))
+    fn = make_quant_feature_fn(cfg, mesh=mesh)
+    step = lambda batch: fn(qparams, batch)  # noqa: E731
+    step.qparams, step.quant_fn = qparams, fn  # AOT hooks (serving_aot.py)
+    return step

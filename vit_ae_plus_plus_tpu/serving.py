@@ -178,6 +178,8 @@ class FeatureEngine(_SlabEngine):
 
             qstep = make_quant_feature_step(vit_cfg, params, mesh=mesh)
             self._step = lambda batch: qstep(batch)
+            # AOT hooks (serving_aot.py): the jitted two-arg fn + its leading args
+            self._jit_fn, self._fn_args = qstep.quant_fn, (qstep.qparams,)
         elif quantize == "none":
             fstep = make_feature_step(vit_model, mesh=mesh)
             if mesh is not None:
@@ -186,9 +188,11 @@ class FeatureEngine(_SlabEngine):
                 params = replicate(params, mesh)
             variables = {"params": params}
             self._step = lambda batch: fstep(variables, batch)
+            self._jit_fn, self._fn_args = fstep, (variables,)
         else:
             raise ValueError(f"quantize must be 'none'|'int8', got {quantize!r}")
         self.mesh = mesh
+        self.quantize = quantize
 
         self.batch_size = int(batch_size)
         self.volume_shape = (in_chans, s, s, s)
@@ -314,6 +318,7 @@ class ClassifierEngine(_SlabEngine):
         ) / len(self._params_list)
 
         self.mesh = mesh
+        self.quantize = quantize
         self.batch_size = int(batch_size)
         self.volume_shape = (in_chans, s, s, s)
         self.normalize = normalize
@@ -615,8 +620,56 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
     return _Server((host, port), Handler)
 
 
-def serve(
+def build_engine(
     checkpoint_path: str,
+    task: str = "features",
+    model_name: str = "contr_mae_vit_base_patch16",
+    volume_size: int = 96,
+    in_chans: int = 1,
+    patch_size: int = 8,
+    batch_size: int = 8,
+    compute_dtype: str = "bfloat16",
+    quantize: str = "none",
+    normalize: str = "none",
+    num_classes: int = 2,
+    ensemble_criterion: str = "ft",
+    mesh=None,
+    resize: bool = False,
+):
+    """Checkpoint(s) -> engine, dispatching on `task` exactly as `serve`
+    does: 'features' builds a FeatureEngine; 'classify' builds a
+    ClassifierEngine from comma-separated checkpoints, one checkpoint, or a
+    finetune-kfold work dir (per-fold best-`ensemble_criterion` ensemble)."""
+    import os
+
+    if checkpoint_path is None:
+        raise ValueError("need checkpoint_path (or engine_path)")
+    if task == "classify":
+        common = dict(
+            model_name=model_name, volume_size=volume_size, in_chans=in_chans,
+            patch_size=patch_size, batch_size=batch_size, num_classes=num_classes,
+            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
+            mesh=mesh, resize=resize,
+        )
+        if "," in checkpoint_path:
+            return ClassifierEngine(checkpoint_path.split(","), **common)
+        if os.path.isdir(os.path.join(checkpoint_path, "checkpoints")):
+            return ClassifierEngine.from_work_dir(
+                checkpoint_path, criterion=ensemble_criterion, **common
+            )
+        return ClassifierEngine(checkpoint_path, **common)
+    if task == "features":
+        return FeatureEngine(
+            checkpoint_path, model_name=model_name, volume_size=volume_size,
+            in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
+            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
+            mesh=mesh, resize=resize,
+        )
+    raise ValueError(f"task must be 'features'|'classify', got {task!r}")
+
+
+def serve(
+    checkpoint_path: Optional[str] = None,
     model_name: str = "contr_mae_vit_base_patch16",
     volume_size: int = 96,
     in_chans: int = 1,
@@ -633,48 +686,44 @@ def serve(
     num_classes: int = 2,
     ensemble_criterion: str = "ft",
     resize: bool = False,
+    engine_path: Optional[str] = None,
 ):
     """Build the engine, warm the serving shape, run the HTTP server.
 
     `task='features'`: SSL feature extraction from an MAE checkpoint
     (POST /features). `task='classify'`: class probabilities from
     fine-tuned classifier checkpoint(s) (POST /predict) —
-    `checkpoint_path` may be comma-separated flat checkpoints, one
-    checkpoint, or a finetune-kfold work dir (per-fold best-
-    `ensemble_criterion` models are ensembled by fold-mean softmax)."""
-    import os
+    see `build_engine` for how `checkpoint_path` is interpreted.
 
-    if task == "classify":
-        common = dict(
-            model_name=model_name, volume_size=volume_size, in_chans=in_chans,
-            patch_size=patch_size, batch_size=batch_size, num_classes=num_classes,
-            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
-            mesh=mesh, resize=resize,
-        )
-        if "," in checkpoint_path:
-            engine = ClassifierEngine(checkpoint_path.split(","), **common)
-        elif os.path.isdir(os.path.join(checkpoint_path, "checkpoints")):
-            engine = ClassifierEngine.from_work_dir(
-                checkpoint_path, criterion=ensemble_criterion, **common
-            )
-        else:
-            engine = ClassifierEngine(checkpoint_path, **common)
-        endpoint = "POST /predict"
-    elif task == "features":
-        engine = FeatureEngine(
-            checkpoint_path, model_name=model_name, volume_size=volume_size,
-            in_chans=in_chans, patch_size=patch_size, batch_size=batch_size,
-            compute_dtype=compute_dtype, quantize=quantize, normalize=normalize,
-            mesh=mesh, resize=resize,
-        )
-        endpoint = "POST /features"
+    `engine_path`: load a precompiled `.vitae` artifact instead
+    (serving_aot.py) — no model build, no trace, no compile; every other
+    engine argument is ignored (the artifact carries its configuration,
+    including the task)."""
+    if engine_path is not None:
+        from vit_ae_plus_plus_tpu.serving_aot import load_engine
+
+        engine = load_engine(engine_path)
+        task = engine.kind
+        batch_size = engine.batch_size
+        quantize = engine.quantize
     else:
-        raise ValueError(f"task must be 'features'|'classify', got {task!r}")
+        engine = build_engine(
+            checkpoint_path, task=task, model_name=model_name,
+            volume_size=volume_size, in_chans=in_chans, patch_size=patch_size,
+            batch_size=batch_size, compute_dtype=compute_dtype,
+            quantize=quantize, normalize=normalize, num_classes=num_classes,
+            ensemble_criterion=ensemble_criterion, mesh=mesh, resize=resize,
+        )
+    endpoint = "POST /predict" if task == "classify" else "POST /features"
     t = engine.warmup()
     folds = f", {engine.num_folds}-fold ensemble" if task == "classify" else ""
-    print(f"serving shape compiled in {t:.1f}s "
-          f"(batch {batch_size}, "
-          f"{quantize if quantize != 'none' else compute_dtype}{folds})")
+    if engine_path is not None:
+        print(f"AOT engine warm in {t:.1f}s — no compile "
+              f"(batch {batch_size}, quantize={quantize}{folds})")
+    else:
+        print(f"serving shape compiled in {t:.1f}s "
+              f"(batch {batch_size}, "
+              f"{quantize if quantize != 'none' else compute_dtype}{folds})")
     queue = BatchingQueue(engine, max_wait_ms=max_wait_ms)
     kw = {"classifier_queue": queue} if task == "classify" else {"queue": queue}
     server = make_http_server(host=host, port=port, **kw)
