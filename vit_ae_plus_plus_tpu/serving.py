@@ -105,13 +105,15 @@ class _SlabEngine:
         outs = []
         b = self.batch_size
         with self._lock:
+            # dispatch every slab first — jax dispatch is async, so slab k+1's
+            # H2D transfer overlaps slab k's compute — then gather to host
             for i in range(0, volumes.shape[0], b):
                 chunk = volumes[i:i + b]
                 n = chunk.shape[0]
                 if n < b:
                     chunk = np.concatenate([chunk, np.repeat(chunk[:1], b - n, axis=0)])
-                out = self._step(jnp.asarray(chunk))
-                outs.append(np.asarray(out[:n], dtype=np.float32))
+                outs.append((self._step(jnp.asarray(chunk)), n))
+            outs = [np.asarray(out[:n], dtype=np.float32) for out, n in outs]
         return np.concatenate(outs)
 
 
