@@ -228,7 +228,8 @@ def measure_extraction(batch: int = 16, quantize: bool = False,
 
 def measure_serving(batch: int = 16, seconds: float = 8.0, clients: int = 32,
                     model: str = "contr_mae_vit_base_patch16",
-                    volume: int = 96, patch: int = 8) -> dict:
+                    volume: int = 96, patch: int = 8,
+                    quantize: str = "none") -> dict:
     """Online-serving numbers through the full serving stack (engine +
     dynamic batcher): sequential single-request p50 latency, and saturated
     concurrent throughput + latency percentiles. NOTE: every request pays a
@@ -252,7 +253,7 @@ def measure_serving(batch: int = 16, seconds: float = 8.0, clients: int = 32,
     engine = FeatureEngine(
         None, model_name=model, volume_size=volume, in_chans=1,
         patch_size=patch, batch_size=batch, compute_dtype="bfloat16",
-        mae_params=mae_params,
+        mae_params=mae_params, quantize=quantize,
     )
     engine.warmup()
     vol = np.random.default_rng(0).standard_normal(
@@ -372,6 +373,11 @@ def main():
             # online serving through the dynamic batcher (serving.py) — each
             # request pays a per-volume H2D; tunnel-bound on this dev box
             **measure_serving(),
+            # the same stack on the int8 engine (MXU double-rate path)
+            **{
+                k.replace("serving_", "serving_int8_"): v
+                for k, v in measure_serving(quantize="int8").items()
+            },
         }
         print(json.dumps(details, indent=2), file=sys.stderr)
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
