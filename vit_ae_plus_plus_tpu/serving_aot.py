@@ -24,6 +24,11 @@ Artifacts are device-specific by nature — an executable is compiled FOR a
 device kind — so the loader checks a platform fingerprint and fails loudly
 on mismatch rather than risking undefined execution.
 
+SECURITY: a `.vitae` artifact embeds pickled weight/tree state, and
+unpickling executes code — load engines only from artifacts you built
+(same trust level as a Python wheel you install), never from untrusted
+uploads.
+
 The reference has no analogue (its deployment story is offline .npy feature
 dumps, extract_ssl_features.py:20-154); this is TPU-native serving
 infrastructure around the same model surface.
