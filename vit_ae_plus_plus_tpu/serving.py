@@ -401,6 +401,10 @@ class BatchingQueue:
         self._closed = False
         self._latencies: deque = deque(maxlen=max_history)
         self._fills: deque = deque(maxlen=max_history)
+        # guards the two history deques: the worker appends outside _cv, and
+        # stats() iterates them (sorted/mean) — unsynchronized, a concurrent
+        # append raises "deque mutated during iteration" mid-request
+        self._stats_lock = threading.Lock()
         self._total_requests = 0
         self._total_batches = 0
         self._total_shed = 0
@@ -467,9 +471,11 @@ class BatchingQueue:
                 now = time.time()
                 for p, f in zip(batch, feats):
                     p.result = f
-                    self._latencies.append(now - p.t_submit)
+                    with self._stats_lock:
+                        self._latencies.append(now - p.t_submit)
                     p.event.set()
-                self._fills.append(len(batch) / self.engine.batch_size)
+                with self._stats_lock:
+                    self._fills.append(len(batch) / self.engine.batch_size)
                 self._total_batches += 1
             except BaseException as e:  # deliver, don't kill the worker
                 for p in batch:
@@ -477,14 +483,16 @@ class BatchingQueue:
                     p.event.set()
 
     def stats(self) -> dict:
-        lat = sorted(self._latencies)
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            fills = list(self._fills)
         pct = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0  # noqa: E731
         return {
             "total_requests": self._total_requests,
             "total_batches": self._total_batches,
             "total_shed": self._total_shed,
             "queue_depth": len(self._queue),
-            "mean_batch_fill": float(np.mean(self._fills)) if self._fills else 0.0,
+            "mean_batch_fill": float(np.mean(fills)) if fills else 0.0,
             "latency_p50_ms": round(pct(0.50) * 1e3, 3),
             "latency_p95_ms": round(pct(0.95) * 1e3, 3),
             "batch_size": self.engine.batch_size,
