@@ -268,6 +268,9 @@ def measure_serving(batch: int = 16, seconds: float = 8.0, clients: int = 32,
             queue.infer_one(vol)
             lat.append(time.perf_counter() - t0)
         p50_single = sorted(lat)[len(lat) // 2]
+        # drop the unloaded warm-phase samples so the concurrent p50/p95
+        # below reflect only the loaded phase
+        queue.reset_stats()
 
         stop = time.perf_counter() + seconds
         counts = [0] * clients
@@ -373,7 +376,8 @@ def main():
             # online serving through the dynamic batcher (serving.py) — each
             # request pays a per-volume H2D; tunnel-bound on this dev box
             **measure_serving(),
-            # the same stack on the int8 engine (MXU double-rate path)
+            # the same stack on the int8 engine (opt-in; memory win —
+            # measured slower than bf16 at these Dense shapes, BASELINE.md)
             **{
                 k.replace("serving_", "serving_int8_"): v
                 for k, v in measure_serving(quantize="int8").items()

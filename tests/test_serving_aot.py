@@ -121,6 +121,60 @@ def test_fingerprint_mismatch_rejected(ckpt, tmp_path):
         load_engine(bad)
 
 
+def test_legacy_pickled_format_rejected(ckpt, tmp_path):
+    """Format-1 artifacts carried a pickled state blob; the loader must
+    refuse them (and any artifact containing state.pkl) rather than
+    unpickle attacker-controllable weight payloads."""
+    eng = FeatureEngine(ckpt, **COMMON)
+    path = str(tmp_path / "eng.vitae")
+    save_engine(eng, path)
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read("meta.json"))
+        items = {n: zf.read(n) for n in zf.namelist() if n != "meta.json"}
+    # (a) a version-1 header is refused
+    meta_v1 = dict(meta, format_version=1)
+    legacy = str(tmp_path / "legacy.vitae")
+    with zipfile.ZipFile(legacy, "w") as zf:
+        zf.writestr("meta.json", json.dumps(meta_v1))
+        for n, b in items.items():
+            zf.writestr(n, b)
+    with pytest.raises(RuntimeError, match="version-1 artifacts"):
+        load_engine(legacy)
+    # (b) a pickled-state member is refused even under a v2 header
+    smuggle = str(tmp_path / "smuggle.vitae")
+    with zipfile.ZipFile(smuggle, "w") as zf:
+        zf.writestr("meta.json", json.dumps(meta))
+        zf.writestr("state.pkl", b"\x80\x04.")
+        for n, b in items.items():
+            zf.writestr(n, b)
+    with pytest.raises(RuntimeError, match="pickled"):
+        load_engine(smuggle)
+
+
+def test_artifact_weights_are_not_pickled(ckpt, tmp_path):
+    """The v2 container stores weights/metadata/trees in non-executable
+    segments: JSON + npz (loadable with allow_pickle=False) + pytree
+    protos. Only executable.bin remains a (documented) trust boundary."""
+    eng = FeatureEngine(ckpt, **COMMON)
+    path = str(tmp_path / "eng.vitae")
+    save_engine(eng, path)
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert names == {
+            "meta.json", "executable.bin", "weights.npz",
+            "args_tree.pb", "in_tree.pb", "out_tree.pb",
+        }
+        # every weight array must load under allow_pickle=False
+        with np.load(io.BytesIO(zf.read("weights.npz")), allow_pickle=False) as z:
+            assert len(z.files) > 0
+            for k in z.files:
+                assert z[k].dtype.hasobject is False
+        # a corrupted (short) weight payload fails loudly, not silently
+        meta = json.loads(zf.read("meta.json"))
+        assert meta["format_version"] == 2
+        assert len(meta["weight_dtypes"]) == len(z.files)
+
+
 def test_mesh_engine_refused(ckpt, tmp_path):
     from vit_ae_plus_plus_tpu.parallel import make_mesh
 

@@ -471,16 +471,26 @@ class BatchingQueue:
                 now = time.time()
                 for p, f in zip(batch, feats):
                     p.result = f
-                    with self._stats_lock:
-                        self._latencies.append(now - p.t_submit)
                     p.event.set()
                 with self._stats_lock:
+                    for p in batch:
+                        self._latencies.append(now - p.t_submit)
                     self._fills.append(len(batch) / self.engine.batch_size)
                 self._total_batches += 1
             except BaseException as e:  # deliver, don't kill the worker
                 for p in batch:
                     p.error = e
                     p.event.set()
+
+    def reset_stats(self) -> None:
+        """Clear the latency/fill history (counters are kept).
+
+        Lets a benchmark separate phases — e.g. drop unloaded warm-up
+        samples before measuring loaded percentiles.
+        """
+        with self._stats_lock:
+            self._latencies.clear()
+            self._fills.clear()
 
     def stats(self) -> dict:
         with self._stats_lock:

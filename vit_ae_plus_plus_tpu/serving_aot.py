@@ -24,10 +24,29 @@ Artifacts are device-specific by nature — an executable is compiled FOR a
 device kind — so the loader checks a platform fingerprint and fails loudly
 on mismatch rather than risking undefined execution.
 
-SECURITY: a `.vitae` artifact embeds pickled weight/tree state, and
-unpickling executes code — load engines only from artifacts you built
-(same trust level as a Python wheel you install), never from untrusted
-uploads.
+Artifact container (format version 2 — no pickled weights/metadata):
+
+    meta.json       engine surface + platform fingerprint + weight manifest
+    weights.npz     all weight leaves as plain arrays (np.load with
+                    allow_pickle=False; exotic dtypes like bfloat16 are
+                    stored as same-width unsigned ints and re-viewed)
+    args_tree.pb    PyTreeDef (proto) of the weight tree — rebuilds the
+                    argument structure without unpickling anything
+    in_tree.pb /    PyTreeDefs (proto) of the executable's calling
+    out_tree.pb     convention
+    executable.bin  QUARANTINED: jax's serialized executable bytes
+
+SECURITY / trust boundary: weights, metadata, and tree structure are
+non-executable containers (JSON / npz-without-pickle / pytree protos) — a
+swapped weight payload can change predictions but cannot run code. The one
+residual boundary is ``executable.bin``: jax's
+``serialize_executable.deserialize_and_load`` is internally an unrestricted
+``pickle.Unpickler`` (jax/experimental/serialize_executable.py), so loading
+that segment from a hostile artifact is arbitrary code execution. Load
+engines only from artifacts you built (same trust level as a Python wheel
+you install); put integrity checking (signing, digest pinning) around the
+artifact file in any deployment that moves `.vitae` files across trust
+zones. Format-1 artifacts (whole state pickled) are refused by the loader.
 
 The reference has no analogue (its deployment story is offline .npy feature
 dumps, extract_ssl_features.py:20-154); this is TPU-native serving
@@ -36,9 +55,7 @@ infrastructure around the same model surface.
 
 from __future__ import annotations
 
-import io
 import json
-import pickle
 import threading
 import zipfile
 
@@ -47,10 +64,14 @@ import jax
 
 from vit_ae_plus_plus_tpu.serving import ClassifierEngine, FeatureEngine, _SlabEngine
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 _META = "meta.json"
 _EXEC = "executable.bin"
-_STATE = "state.pkl"
+_WEIGHTS = "weights.npz"
+_ARGS_TREE = "args_tree.pb"
+_IN_TREE = "in_tree.pb"
+_OUT_TREE = "out_tree.pb"
+_LEGACY_STATE = "state.pkl"  # format 1 — refused
 
 
 def _fingerprint() -> dict:
@@ -63,8 +84,42 @@ def _fingerprint() -> dict:
     }
 
 
-def _host_tree(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+def _treedef_registry():
+    from jax._src.tree_util import default_registry
+
+    return default_registry
+
+
+def _serialize_treedef(treedef) -> bytes:
+    return treedef.serialize_using_proto()
+
+
+def _deserialize_treedef(data: bytes):
+    treedef_cls = type(jax.tree.structure(0))
+    return treedef_cls.deserialize_using_proto(_treedef_registry(), data)
+
+
+def _pack_leaves(leaves, prefix: str):
+    """Host-transfer `leaves` and return ({npz_key: storable_array},
+    [dtype names]). Dtypes npz can't take verbatim (bfloat16, float8...)
+    are stored as same-width unsigned ints; the manifest records the real
+    name so `_unpack_leaf` can re-view them."""
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(a.dtype.name)
+        if a.dtype.kind not in "biufc" or a.dtype.name not in np.sctypeDict:
+            a = a.view(np.dtype(f"uint{8 * a.dtype.itemsize}"))
+        arrays[f"{prefix}{i:05d}"] = a
+    return arrays, dtypes
+
+
+def _unpack_leaf(a: np.ndarray, dtype_name: str) -> np.ndarray:
+    if a.dtype.name != dtype_name:
+        import ml_dtypes
+
+        return a.view(np.dtype(getattr(ml_dtypes, dtype_name)))
+    return a
 
 
 def save_engine(engine: _SlabEngine, path: str) -> dict:
@@ -97,17 +152,20 @@ def save_engine(engine: _SlabEngine, path: str) -> dict:
         meta["kind"] = "features"
         meta["feature_dim"] = engine.feature_dim
         fn, lead_args = engine._jit_fn, engine._fn_args
-        state = {"fn_args": _host_tree(lead_args)}
+        weight_leaves, args_treedef = jax.tree.flatten(lead_args)
     elif isinstance(engine, ClassifierEngine):
         meta["kind"] = "classify"
         meta["num_classes"] = engine.num_classes
         meta["num_folds"] = engine.num_folds
         # ONE executable serves every fold (params are an argument); the
-        # fold-mean loop is rebuilt by the loader
+        # fold-mean loop is rebuilt by the loader. The folds share one tree
+        # structure, so the leaves of all folds concatenate under it.
         fn, lead_args = engine._probs, (engine._params_list[0],)
-        state = {"fn_args_list": _host_tree(engine._params_list)}
+        weight_leaves, args_treedef = jax.tree.flatten(engine._params_list)
     else:
         raise TypeError(f"unsupported engine type {type(engine).__name__}")
+    arrays, dtypes = _pack_leaves(weight_leaves, "w")
+    meta["weight_dtypes"] = dtypes
 
     # compile FRESH, bypassing the persistent compilation cache: an
     # executable rehydrated from that cache does not re-serialize correctly
@@ -128,8 +186,6 @@ def save_engine(engine: _SlabEngine, path: str) -> dict:
         jax.config.update("jax_enable_compilation_cache", cache_was_on)
         _cc.reset_cache()  # re-initialize lazily with the restored config
     payload, in_tree, out_tree = serialize_executable.serialize(compiled)
-    state["in_tree"] = in_tree
-    state["out_tree"] = out_tree
 
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_META, json.dumps(meta, indent=1))
@@ -137,7 +193,15 @@ def save_engine(engine: _SlabEngine, path: str) -> dict:
         zf.writestr(
             zipfile.ZipInfo(_EXEC), payload, compress_type=zipfile.ZIP_STORED
         )
-        zf.writestr(_STATE, pickle.dumps(state, protocol=4))
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        zf.writestr(zipfile.ZipInfo(_WEIGHTS), buf.getvalue(),
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr(_ARGS_TREE, _serialize_treedef(args_treedef))
+        zf.writestr(_IN_TREE, _serialize_treedef(in_tree))
+        zf.writestr(_OUT_TREE, _serialize_treedef(out_tree))
     return meta
 
 
@@ -167,21 +231,36 @@ class _AOTEngine(_SlabEngine):
 def load_engine(path: str) -> _AOTEngine:
     """Deserialize a `.vitae` artifact into a ready engine.
 
+    Weights/metadata/tree structure load from non-executable containers
+    (JSON, npz with allow_pickle=False, pytree protos). `executable.bin`
+    is the residual trust boundary — see the module docstring.
+
     Raises RuntimeError when the artifact's platform fingerprint (backend,
     device kind) does not match this process — executables are compiled FOR
-    a device and cannot run elsewhere."""
+    a device and cannot run elsewhere — or when the artifact uses the
+    retired pickled-state format (version 1)."""
     from jax.experimental import serialize_executable
 
     with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
         meta = json.loads(zf.read(_META))
+        if meta.get("format_version") != _FORMAT_VERSION or _LEGACY_STATE in names:
+            raise RuntimeError(
+                f"{path}: unsupported engine format "
+                f"{meta.get('format_version')} (this build reads version "
+                f"{_FORMAT_VERSION}; version-1 artifacts carried pickled "
+                "state and are refused — rebuild with "
+                "`vit-ae-tpu compile-engine`)"
+            )
         payload = zf.read(_EXEC)
-        state = pickle.loads(zf.read(_STATE))
+        import io
 
-    if meta.get("format_version") != _FORMAT_VERSION:
-        raise RuntimeError(
-            f"{path}: unsupported engine format {meta.get('format_version')} "
-            f"(this build reads version {_FORMAT_VERSION})"
-        )
+        with np.load(io.BytesIO(zf.read(_WEIGHTS)), allow_pickle=False) as z:
+            stored = {k: z[k] for k in z.files}
+        args_treedef = _deserialize_treedef(zf.read(_ARGS_TREE))
+        in_tree = _deserialize_treedef(zf.read(_IN_TREE))
+        out_tree = _deserialize_treedef(zf.read(_OUT_TREE))
+
     here = _fingerprint()
     for key in ("platform", "device_kind"):
         if meta.get(key) != here[key]:
@@ -199,19 +278,31 @@ def load_engine(path: str) -> _AOTEngine:
             f"this process runs {here['jax_version']} — rebuild the artifact"
         )
 
+    dtypes = meta["weight_dtypes"]
+    leaves = [
+        _unpack_leaf(stored[f"w{i:05d}"], dtypes[i]) for i in range(len(dtypes))
+    ]
+    if len(leaves) != args_treedef.num_leaves:
+        raise RuntimeError(
+            f"{path}: weight payload has {len(leaves)} arrays but the tree "
+            f"expects {args_treedef.num_leaves} — corrupt artifact"
+        )
+
     # artifacts are single-device (save_engine enforces it): pin execution to
     # one device, or a multi-device process (e.g. the virtual test mesh)
     # would hand the executable its whole device list
     loaded = serialize_executable.deserialize_and_load(
-        payload, state["in_tree"], state["out_tree"],
+        payload, in_tree, out_tree,
         execution_devices=jax.devices()[:1],
     )
     if meta["kind"] == "features":
         # stage the weights once; every request then passes device-resident args
-        fn_args = jax.device_put(state["fn_args"])
+        fn_args = jax.device_put(jax.tree.unflatten(args_treedef, leaves))
         step = lambda batch: loaded(*fn_args, batch)  # noqa: E731
     elif meta["kind"] == "classify":
-        params_list = [jax.device_put(v) for v in state["fn_args_list"]]
+        params_list = [
+            jax.device_put(v) for v in jax.tree.unflatten(args_treedef, leaves)
+        ]
         step = lambda batch: sum(  # noqa: E731
             loaded(v, batch) for v in params_list
         ) / len(params_list)
