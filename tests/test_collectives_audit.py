@@ -212,12 +212,9 @@ def test_ring_attention_rotates_and_never_gathers():
     )
 
 
-def test_pp_fsdp_gathers_weight_slices_not_activations():
-    """ZeRO x GPipe (pp_state_shardings data_axis='data'): the compiled
-    stacked-state step must ride the pipeline's collective-permute ring AND
-    gather only per-stage weight-shard slices — no all-gather may output
-    anything as large as a microbatch residual activation, let alone a
-    patchified volume."""
+def _zero_gpipe_hlo(min_size: int, batch_shard_activations: bool = True) -> str:
+    """Compile the composed ZeRO x GPipe stacked-state train step at the
+    given FSDP sharding floor and return the post-SPMD HLO text."""
     from vit_ae_plus_plus_tpu.parallel.pp import (
         make_pipeline_mesh, make_pp_train_step, pp_state_shardings,
         shard_pp_state, to_pp_params,
@@ -231,7 +228,7 @@ def test_pp_fsdp_gathers_weight_slices_not_activations():
         # the production recipe (pretrain_kfold --fsdp --pipe-devices): pin
         # the residual stream P('data') inside the pipeline stages so the
         # partitioner gathers weight shards, not activations
-        batch_shard_activations=True,
+        batch_shard_activations=batch_shard_activations,
     )
     mae = MaskedAutoencoderViT3D(cfg)
     mesh = make_pipeline_mesh(2, data=4)
@@ -247,19 +244,30 @@ def test_pp_fsdp_gathers_weight_slices_not_activations():
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(sp), tx=tx,
     )
-    # min_size 512: weight matrices shard over 'data'; small biases/norm
-    # scales stay replicated (the production floor behaviour)
-    state = shard_pp_state(state, mesh, data_axis="data", min_size=512)
-    shardings = pp_state_shardings(state, mesh, data_axis="data", min_size=512)
+    state = shard_pp_state(state, mesh, data_axis="data", min_size=min_size)
+    shardings = pp_state_shardings(state, mesh, data_axis="data",
+                                   min_size=min_size)
     step = make_pp_train_step(
         mae, cfg.patch_size, mesh, n_microbatches=2, contr_weight=0.1,
         donate=False, stacked_state=True, state_shardings=shardings,
     )
     v = shard_batch(batch, mesh)
     with jax.set_mesh(mesh):
-        text = step.lower(
+        return step.lower(
             state, v, v, jax.random.PRNGKey(3), jnp.float32(0.0)
         ).compile().as_text()
+
+
+def test_pp_fsdp_gathers_weight_slices_not_activations():
+    """ZeRO x GPipe (pp_state_shardings data_axis='data'): the compiled
+    stacked-state step must ride the pipeline's collective-permute ring AND
+    gather only per-stage weight-shard slices — no all-gather may output
+    anything as large as a microbatch residual activation, let alone a
+    patchified volume.
+
+    min_size 512: weight matrices shard over 'data'; small biases/norm
+    scales stay replicated (the production floor behaviour)."""
+    text = _zero_gpipe_hlo(min_size=512)
     cols = collectives(text)
     kinds = Counter(k for k, _, _ in cols)
 
@@ -276,3 +284,67 @@ def test_pp_fsdp_gathers_weight_slices_not_activations():
                 f"{kind} outputs {elems} elems {shapes} > one weight slice "
                 f"({max_weight_slice}): the composition is moving activations"
             )
+
+
+_REMAT_WARNING = "full rematerialization"
+
+
+def _fresh_compile(fn):
+    """Run `fn` with the persistent compilation cache disabled: a cache hit
+    skips the SPMD partitioner entirely, so its warnings never fire and a
+    warning-based assertion would vacuously pass. jax memoizes
+    cache-enablement at first compile, so the module state is reset around
+    the toggle (same dance as serving_aot.save_engine)."""
+    from jax._src import compilation_cache as _cc
+
+    was_on = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    try:
+        return fn()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", was_on)
+        _cc.reset_cache()
+
+
+def test_pp_fsdp_production_settings_compile_warning_free(capfd):
+    """At the production sharding floor the SPMD partitioner must emit ZERO
+    'Involuntary full rematerialization' warnings for the composed
+    ZeRO x GPipe program (VERDICT r3 #2): such a warning means GSPMD gave up
+    resharding a tensor between the manual pipeline region and the GSPMD
+    data placement and regenerated it whole — a silent 1/shard-efficiency
+    loss the multichip artifact must not ship with.
+
+    capfd captures fd-level stderr, which is where XLA's C++ logging lands.
+    The min_size=0 canary below proves the capture actually sees the warning
+    when it fires, so the clean assertion here is meaningful."""
+    capfd.readouterr()  # drop anything buffered by earlier tests
+    _fresh_compile(lambda: _zero_gpipe_hlo(min_size=512))
+    err = capfd.readouterr().err
+    assert _REMAT_WARNING not in err, (
+        "production ZeRO x GPipe compile emitted involuntary-remat "
+        f"warnings:\n{err}"
+    )
+
+
+def test_pp_fsdp_min_size_zero_is_a_detectable_stress_case(capfd):
+    """Sharding EVERY leaf (min_size=0) WITHOUT the residual-stream pin
+    (batch_shard_activations=False) forces the partitioner to reshard
+    sub-threshold leaves across the manual/auto boundary — XLA warns about
+    involuntary full rematerialization (this exact program put 2 such
+    warnings in MULTICHIP_r03's tail). The canary pins (a) that the
+    warning-capture mechanism works, and (b) that min_size=0 is a stress
+    configuration, not a production recipe (dryrun_multichip runs 512).
+    Notably the P('data') activation pin alone already silences the remat
+    even at min_size=0 — the pin gives the partitioner a legal reshard
+    path — so BOTH production levers are doing real work."""
+    capfd.readouterr()
+    _fresh_compile(
+        lambda: _zero_gpipe_hlo(min_size=0, batch_shard_activations=False)
+    )
+    err = capfd.readouterr().err
+    assert _REMAT_WARNING in err, (
+        "expected the min_size=0 stress compile to emit involuntary-remat "
+        "warnings; if XLA stopped warning, the clean test above proves "
+        "nothing — re-verify how the partitioner reports forced remat"
+    )
