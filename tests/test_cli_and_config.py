@@ -199,3 +199,42 @@ def test_cli_pretrain_with_config_ini(tmp_path):
     # INI hyperparameters took effect: 1 epoch per fold, contrastive term active
     assert max(l["epoch"] for l in lines) == 0
     assert any(l["train_contr_loss"] != 0.0 for l in lines)
+
+
+def test_serve_labels_fast_presets_as_non_parity(tmp_path, monkeypatch, capsys):
+    """`serve`/`compile-engine` must label the opt-in `_fast`/`_fastdec`
+    presets as non-parity (they serve only checkpoints trained under the
+    same attention partition) — VERDICT r3 #7. Covers both the --model path
+    and the --engine artifact-header peek."""
+    import json
+    import zipfile
+
+    import vit_ae_plus_plus_tpu.serving as serving
+    from vit_ae_plus_plus_tpu.cli import main as cli_main
+
+    monkeypatch.setattr(serving, "serve", lambda *a, **kw: None)
+    monkeypatch.setattr(
+        "vit_ae_plus_plus_tpu.train.checkpoint.resolve_checkpoint_path",
+        lambda c: c,
+    )
+    rc = cli_main([
+        "serve", "--checkpoint", "dummy",
+        "--model", "contr_mae_vit_base_patch16_fast",
+    ])
+    assert rc == 0
+    assert "non-parity preset" in capsys.readouterr().err
+
+    # parity model: no label
+    rc = cli_main(["serve", "--checkpoint", "dummy",
+                   "--model", "contr_mae_vit_base_patch16"])
+    assert rc == 0
+    assert "non-parity" not in capsys.readouterr().err
+
+    # --engine path: the label comes from the artifact header
+    eng = tmp_path / "fast.vitae"
+    with zipfile.ZipFile(eng, "w") as zf:
+        zf.writestr("meta.json",
+                    json.dumps({"model_name": "contr_mae_vit_base_patch16_fastdec"}))
+    rc = cli_main(["serve", "--engine", str(eng)])
+    assert rc == 0
+    assert "non-parity preset" in capsys.readouterr().err

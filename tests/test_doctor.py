@@ -25,3 +25,35 @@ def test_doctor_cli():
     from vit_ae_plus_plus_tpu.cli import main as cli_main
 
     assert cli_main(["doctor"]) == 0
+
+
+def test_doctor_flags_stale_vitae_fingerprint(tmp_path, monkeypatch):
+    """A .vitae built on another platform/jax (or in the retired format)
+    must surface as a WARN naming the artifact (VERDICT r3 #7)."""
+    import json
+    import zipfile
+
+    from vit_ae_plus_plus_tpu.serving_aot import _FORMAT_VERSION, _fingerprint
+    from vit_ae_plus_plus_tpu.utils.doctor import _check_vitae_engines
+
+    monkeypatch.chdir(tmp_path)
+    status, detail = _check_vitae_engines()
+    assert status == "ok" and "no .vitae" in detail
+
+    good = dict(_fingerprint(), format_version=_FORMAT_VERSION)
+    with zipfile.ZipFile(tmp_path / "good.vitae", "w") as zf:
+        zf.writestr("meta.json", json.dumps(good))
+    status, detail = _check_vitae_engines()
+    assert status == "ok" and "1 artifact" in detail
+
+    stale = dict(good, jax_version="0.0.1")
+    with zipfile.ZipFile(tmp_path / "stale.vitae", "w") as zf:
+        zf.writestr("meta.json", json.dumps(stale))
+    legacy = dict(good, format_version=1)
+    with zipfile.ZipFile(tmp_path / "legacy.vitae", "w") as zf:
+        zf.writestr("meta.json", json.dumps(legacy))
+    status, detail = _check_vitae_engines()
+    assert status == "warn"
+    assert "stale.vitae" in detail and "jax_version" in detail
+    assert "legacy.vitae" in detail and "format 1" in detail
+    assert "compile-engine" in detail  # the remedy is actionable

@@ -80,6 +80,22 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--vgg-ckpt", default=None, help="torch VGG16 weights")
 
 
+def _warn_fast_preset(model_name) -> None:
+    """Deployment guard: the `_fast`/`_fastdec` zoo entries are opt-in
+    NON-PARITY presets (different attention-subspace partition at identical
+    parameter shapes, models/zoo.py). They only serve checkpoints TRAINED
+    under the same preset — a reference-trained or parity-trained checkpoint
+    loads shape-compatibly but computes a different function."""
+    if model_name and model_name.endswith(("_fast", "_fastdec")):
+        print(
+            f"note: {model_name!r} is an opt-in non-parity preset; serve it "
+            "only with checkpoints trained under this same preset "
+            "(parity-trained checkpoints are shape-compatible but NOT "
+            "function-compatible)",
+            file=sys.stderr,
+        )
+
+
 def _configs(args) -> tuple:
     if args.config:
         from vit_ae_plus_plus_tpu.configs.ini import bootstrap
@@ -338,6 +354,16 @@ def main(argv=None):
 
         enable_compilation_cache()
         if args.engine is not None:
+            import json as _json
+            import zipfile as _zipfile
+
+            try:  # cheap peek at the artifact header for the preset label
+                with _zipfile.ZipFile(args.engine) as zf:
+                    _warn_fast_preset(
+                        _json.loads(zf.read("meta.json")).get("model_name")
+                    )
+            except Exception:
+                pass  # load_engine below reports unreadable artifacts properly
             serve(
                 engine_path=args.engine, max_wait_ms=args.max_wait_ms,
                 host=args.host, port=args.port,
@@ -345,6 +371,7 @@ def main(argv=None):
             return 0
         if args.checkpoint is None:
             parser.error("serve needs --checkpoint or --engine")
+        _warn_fast_preset(args.model)
         mesh = None
         if args.n_devices and args.n_devices > 1:
             from vit_ae_plus_plus_tpu.parallel import make_mesh
@@ -375,6 +402,7 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        _warn_fast_preset(args.model)
         ckpt = ",".join(
             resolve_checkpoint_path(c) for c in args.checkpoint.split(",")
         )

@@ -151,6 +151,7 @@ class FeatureEngine(_SlabEngine):
 
         if normalize not in ("none", "zscore"):
             raise ValueError(f"normalize must be 'none'|'zscore', got {normalize!r}")
+        self.model_name = model_name
         mae_cfg = MODEL_ZOO[model_name](
             volume_size=volume_size, in_chans=in_chans, patch_size=patch_size,
             dtype=compute_dtype,
@@ -238,6 +239,7 @@ class ClassifierEngine(_SlabEngine):
             raise ValueError(f"normalize must be 'none'|'zscore', got {normalize!r}")
         if isinstance(checkpoint_paths, str):
             checkpoint_paths = [checkpoint_paths]
+        self.model_name = model_name
         mae_cfg = MODEL_ZOO[model_name](
             volume_size=volume_size, in_chans=in_chans, patch_size=patch_size,
             dtype=compute_dtype,

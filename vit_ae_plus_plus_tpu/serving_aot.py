@@ -141,6 +141,7 @@ def save_engine(engine: _SlabEngine, path: str) -> dict:
     slab = np.zeros((engine.batch_size, *engine.volume_shape), np.float32)
     meta = {
         "format_version": _FORMAT_VERSION,
+        "model_name": getattr(engine, "model_name", None),
         "quantize": engine.quantize,
         "batch_size": engine.batch_size,
         "volume_shape": list(engine.volume_shape),
@@ -212,6 +213,7 @@ class _AOTEngine(_SlabEngine):
 
     def __init__(self, meta: dict, step):
         self.kind = meta["kind"]
+        self.model_name = meta.get("model_name")
         self.quantize = meta["quantize"]
         self.batch_size = int(meta["batch_size"])
         self.volume_shape = tuple(meta["volume_shape"])

@@ -124,6 +124,42 @@ def _check_optional() -> Tuple[str, str]:
     return _OK, msg
 
 
+def _check_vitae_engines() -> Tuple[str, str]:
+    """Stale `.vitae` fingerprints: a serialized executable is compiled FOR
+    a platform/device-kind/jax-version — an artifact built elsewhere (or
+    before a jax upgrade) refuses to load at serve time. Catch it here."""
+    import glob
+    import json
+    import zipfile
+
+    from vit_ae_plus_plus_tpu.serving_aot import _FORMAT_VERSION, _fingerprint
+
+    paths = sorted(glob.glob("*.vitae") + glob.glob("*/*.vitae"))[:50]
+    if not paths:
+        return _OK, "no .vitae artifacts under the working directory"
+    here = _fingerprint()
+    stale = []
+    for p in paths:
+        try:
+            with zipfile.ZipFile(p) as zf:
+                meta = json.loads(zf.read("meta.json"))
+        except Exception as e:
+            stale.append(f"{p}: unreadable ({type(e).__name__})")
+            continue
+        if meta.get("format_version") != _FORMAT_VERSION:
+            stale.append(f"{p}: format {meta.get('format_version')} "
+                         f"(this build reads {_FORMAT_VERSION})")
+            continue
+        for key in ("platform", "device_kind", "jax_version"):
+            if meta.get(key) != here[key]:
+                stale.append(f"{p}: {key} {meta.get(key)!r} != {here[key]!r}")
+                break
+    if stale:
+        return _WARN, ("stale engine artifact(s), rebuild with "
+                       "`vit-ae-tpu compile-engine`: " + "; ".join(stale))
+    return _OK, f"{len(paths)} artifact(s) match this platform"
+
+
 CHECKS: List[Tuple[str, Callable[[], Tuple[str, str]]]] = [
     ("jax backend", _check_jax),
     ("device compute", _check_device_compute),
@@ -132,6 +168,7 @@ CHECKS: List[Tuple[str, Callable[[], Tuple[str, str]]]] = [
     ("virtual-mesh flags", _check_virtual_mesh_flags),
     ("library versions", _check_versions),
     ("optional extras", _check_optional),
+    ("engine artifacts", _check_vitae_engines),
 ]
 
 
