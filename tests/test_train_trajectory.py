@@ -1,0 +1,292 @@
+"""Composed training-UPDATE parity vs a torch replica of the reference loop.
+
+Forward parity (test_model_parity.py) pins the model math; the formula tests
+pin the schedule and the mixup oracle in isolation. What none of them check
+is the COMPOSITION the reference actually runs per iteration
+(/root/reference/k_fold_training_scripts/k_fold_cross_valid_combined_brats.py:168-188,
+utils/train_one_epoch.py:40-74, utils/lr_sched.py:9-21):
+
+    grads -> timm add_weight_decay split (no-decay iff ndim==1; cls/mask
+    tokens DECAY) -> AdamW(betas=(0.9, 0.95), eps 1e-8) -> per-ITERATION
+    warmup-cosine lr at fractional epoch -> param update,
+    with the per-EPOCH edge_map_weight schedule 0.01 * (1 - epoch/epochs).
+
+These tests run 10 full optimizer steps on CPU float64, both sides from
+identical init (the flax tree injected into torch Parameters) with injected
+mask noise and fresh data per step, through OUR production train step
+(train/step.py make_train_step + train/optim.py make_adamw +
+warmup_cosine_schedule — the exact objects the pipelines build) and through
+a torch loop written from the reference's lines. Per-step losses and the
+final parameter tree must agree.
+
+Why float64: in f32 the comparison cannot be sharp. Adam normalises each
+element by sqrt(v̂), so elements whose gradient is tiny (or exactly zero —
+the K-projection bias is mathematically gradient-free by softmax row-shift
+invariance) turn each side's independent f32 rounding noise into full
+lr-scale updates; measured f32 drift after 10 steps is 1e-4..7e-4 maxabs
+per leaf, the same order as the signal of a real decay-mask bug on most
+leaves (calibrated by running a decay-everything variant). In f64 the
+rounding floor drops ~8 orders while every semantic bug keeps its size:
+decaying biases, per-epoch instead of per-iteration lr, or
+betas=(0.9, 0.999) each diverge by >1e-2 within 10 steps, against a
+sub-1e-9 f64 noise floor — a >1e7 separation, no per-leaf exclusions
+needed. The production f32/bf16 paths share every line of this code (the
+loss path upcasts 'to at least f32', ops/losses.py::at_least_f32), so the
+f64 run pins the same composition the pipelines execute.
+
+Perceptual loss is excluded by design: the reference computes it under
+torch.no_grad() (vit_autoenc.py:229-230), so it contributes ZERO gradient —
+it shifts the logged loss value, never the parameter trajectory (and this
+environment has no pretrained VGG weights to value-match against).
+
+Batch-stats note: torch updates running_var with the UNBIASED batch
+variance, flax with the biased one. Training-mode BN normalises with batch
+statistics, so the parameter trajectory is identical; only the eval-time
+running buffers differ (by n/(n-1)), and they are checked with that factor
+applied.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from vit_ae_plus_plus_tpu.configs import MAEConfig
+from vit_ae_plus_plus_tpu.models import MaskedAutoencoderViT3D
+from vit_ae_plus_plus_tpu.ops import patchify
+from vit_ae_plus_plus_tpu.train import make_adamw, make_train_step
+from vit_ae_plus_plus_tpu.train.optim import warmup_cosine_schedule
+from vit_ae_plus_plus_tpu.train.state import TrainState
+
+import torch_oracle as oracle
+
+B = 2
+VOL = 16
+PATCH = 4
+STEPS = 10
+SPE = 2           # steps per epoch -> 5 fractional epochs of trajectory
+EPOCHS = 5
+WARMUP = 2        # warmup ends mid-run: both schedule branches exercised
+LR = 1e-3
+MIN_LR = 1e-5
+WD = 0.05
+CONTR_W = 0.1
+
+
+@pytest.fixture(autouse=True)
+def _float64_mode():
+    """Both frameworks in f64: jax via jax_enable_x64 (+ f64 model compute
+    dtype below), torch via the default dtype (the oracle's `t()` and its
+    torch.ones/linspace follow it)."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(prev)
+        _jax.config.update("jax_enable_x64", False)
+
+
+def _cfg(contrastive):
+    return MAEConfig(
+        volume_size=VOL, patch_size=PATCH, in_chans=1, embed_dim=24, depth=2,
+        num_heads=3, decoder_embed_dim=12, decoder_depth=1,
+        decoder_num_heads=2, contrastive=contrastive, dtype="float64",
+    )
+
+
+def _data(contrastive):
+    rng = np.random.default_rng(7)
+    v1 = rng.standard_normal((STEPS, B, 1, VOL, VOL, VOL)).astype(np.float32)
+    v2 = rng.standard_normal((STEPS, B, 1, VOL, VOL, VOL)).astype(np.float32)
+    n_rows = 2 * B if contrastive else B
+    L = (VOL // PATCH) ** 3
+    noise = rng.random((STEPS, n_rows, L)).astype(np.float32)
+    return v1, v2, noise
+
+
+def _torch_tree(params):
+    """flax param tree -> same-structure tree of torch Parameters, plus a
+    flat (name, param) list for the optimizer groups."""
+    named = []
+
+    def conv(path, leaf):
+        p = torch.nn.Parameter(torch.from_numpy(np.asarray(leaf, np.float64)))
+        named.append(("/".join(str(getattr(k, "key", k)) for k in path), p))
+        return p
+
+    tree = jax.tree_util.tree_map_with_path(conv, params)
+    return tree, named
+
+
+def _edge_map_weight(step):
+    return 0.01 * (1 - (step // SPE) / EPOCHS)
+
+
+def _run_jax(model, cfg, variables, v1, v2, noise):
+    """Our production composition: make_adamw + warmup_cosine_schedule +
+    make_train_step (noise injected through the forward_fn hook)."""
+    tx = make_adamw(
+        warmup_cosine_schedule(LR, MIN_LR, WARMUP, EPOCHS, SPE), weight_decay=WD
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), tx=tx,
+    )
+    contrastive = cfg.contrastive
+
+    def fwd_with(noise_i):
+        def fwd(vs, view1, view2, rng1):
+            kwargs = {"mutable": ["batch_stats"]} if "batch_stats" in vs else {}
+            result = model.apply(
+                vs, view1, view2 if contrastive else None, mask_ratio=0.75,
+                noise=jnp.asarray(noise_i), rngs={"mask": rng1}, **kwargs,
+            )
+            outputs, mutated = result if kwargs else (result, {})
+            return outputs, mutated.get("batch_stats")
+        return fwd
+
+    losses = []
+    rng = jax.random.PRNGKey(0)  # unused: noise is injected
+    for i in range(STEPS):
+        step = make_train_step(
+            model, PATCH, mask_ratio=0.75,
+            contr_weight=CONTR_W if contrastive else 0.0,
+            loss_filters_dtype="float64",
+            donate=False, forward_fn=fwd_with(noise[i]),
+        )
+        state, metrics = step(
+            state, jnp.asarray(v1[i]), jnp.asarray(v2[i]), rng,
+            jnp.float64(_edge_map_weight(i)),
+        )
+        losses.append(float(metrics["loss"]))
+    return losses, jax.device_get(state.params), jax.device_get(state.batch_stats)
+
+
+def _run_torch(cfg, variables, v1, v2, noise, pe, dpe):
+    """The reference loop, line for line: timm add_weight_decay groups,
+    AdamW(0.9, 0.95), adjust_learning_rate at fractional epochs, composite
+    loss (recon + weighted edge [+ contrastive]), backward, step."""
+    tparams, named = _torch_tree(variables["params"])
+    groups = oracle.add_weight_decay_groups(named, WD)
+    opt = torch.optim.AdamW(groups, lr=LR, betas=(0.9, 0.95))
+    cos = torch.nn.CosineSimilarity(dim=1)
+    dim = cfg.embed_dim
+    bn = {"mean": torch.zeros(dim), "var": torch.ones(dim)}
+
+    losses = []
+    for i in range(STEPS):
+        oracle.adjust_learning_rate(opt, i / SPE, LR, MIN_LR, WARMUP, EPOCHS)
+        emw = _edge_map_weight(i)
+        tv1 = oracle.t(v1[i])
+
+        pred, mask, latent1 = oracle.mae_forward(
+            v1[i], noise[i][:B], tparams, cfg, pe, dpe
+        )
+        target = oracle.t(np.asarray(patchify(jnp.asarray(v1[i]), PATCH)))
+        recon = ((pred - target) ** 2).mean(dim=-1)
+        recon = (recon * mask).sum() / mask.sum()
+        pred_vol = oracle.unpatchify_t(pred, PATCH)
+        edge = emw * torch.nn.functional.mse_loss(
+            oracle.sobel_edges_t(pred_vol),
+            oracle.sobel_edges_t(oracle.gaussian_blur_t(tv1, 2.0)),
+        )
+        loss = recon + edge
+
+        if cfg.contrastive:
+            latent2, _, _ = oracle.mae_encode(
+                v2[i], noise[i][B:], tparams, cfg, pe
+            )
+            l1 = latent1.reshape(-1, dim)
+            l2 = latent2.reshape(-1, dim)
+            hp = tparams["heads"]["predictor"]
+            p1 = oracle.predictor_forward(l1, hp, bn)
+            p2 = oracle.predictor_forward(l2, hp, bn)
+            loss = loss + CONTR_W * (
+                -(cos(p1, l2.detach()).mean() + cos(p2, l1.detach()).mean()) * 0.5
+            )
+
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses, tparams, bn
+
+
+def _max_rel_err(got_tree, want_tree):
+    worst = (0.0, "")
+    for (path, got), (_, want) in zip(
+        jax.tree_util.tree_flatten_with_path(got_tree)[0],
+        jax.tree_util.tree_flatten_with_path(want_tree)[0],
+    ):
+        w = want.detach().numpy() if isinstance(want, torch.Tensor) else np.asarray(want)
+        g = np.asarray(got)
+        rel = np.max(np.abs(g - w)) / (np.max(np.abs(w)) + 1e-12)
+        if rel > worst[0]:
+            worst = (float(rel), jax.tree_util.keystr(path))
+    return worst
+
+
+@pytest.mark.parametrize("contrastive", [False, True],
+                         ids=["plain_mae", "contrastive_mae"])
+def test_training_trajectory_matches_torch_reference_loop(contrastive):
+    cfg = _cfg(contrastive)
+    model = MaskedAutoencoderViT3D(cfg)
+    v1, v2, noise = _data(contrastive)
+
+    init_rngs = {"params": jax.random.PRNGKey(1), "mask": jax.random.PRNGKey(2)}
+    if contrastive:
+        variables = model.init(init_rngs, jnp.asarray(v1[0]), jnp.asarray(v2[0]))
+    else:
+        variables = model.init(init_rngs, jnp.asarray(v1[0]))
+    # flax initialises params in its param_dtype (f32); widen the whole tree
+    # to f64 so the optimizer state and updates live in f64 on both sides
+    variables = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), variables)
+    bound = model.bind(variables)
+    pe = np.asarray(bound.pos_embed)
+    dpe = np.asarray(bound.decoder_pos_embed)
+
+    jax_losses, jax_params, jax_bs = _run_jax(model, cfg, variables, v1, v2, noise)
+    torch_losses, torch_params, torch_bn = _run_torch(
+        cfg, variables, v1, v2, noise, pe, dpe
+    )
+
+    # per-step loss trace: identical composition -> f64-level agreement.
+    # Measured: <= 7e-9 relative at every step (the residue is the blur
+    # taps' f32 libm rounding, np.exp vs torch.exp); asserted ~15x above.
+    for i, (got, want) in enumerate(zip(jax_losses, torch_losses)):
+        assert abs(got - want) <= 1e-7 * abs(want), (
+            f"loss diverged at step {i}: {got} vs {want}\n"
+            f"jax:   {jax_losses}\ntorch: {torch_losses}"
+        )
+
+    # final parameter tree: the composed update (decay mask x AdamW x
+    # per-iteration lr) agrees leaf-wise. Measured worst leaf: 2.6e-9
+    # relative (incl. the gradient-free K bias, which stays ~1e-13 on BOTH
+    # sides); asserted ~400x above — still >1e4 below any semantic bug.
+    rel, where = _max_rel_err(jax_params, torch_params)
+    assert rel < 1e-6, f"param trajectory diverged: rel {rel:.2e} at {where}"
+
+    if contrastive:
+        # BN running stats: same means; torch var is unbiased, flax biased —
+        # each predictor call sees one view's B*(len_keep+1) token rows,
+        # so the unbiased correction factor is n/(n-1) with that n
+        fbn = jax_bs["heads"]["predictor"]["BatchNorm_0"]
+        np.testing.assert_allclose(
+            np.asarray(fbn["mean"]), torch_bn["mean"].numpy(),
+            rtol=2e-4, atol=1e-6,
+        )
+        n = B * (int(cfg.num_patches * 0.25) + 1)
+        c = n / (n - 1)
+        # the correction applies to the accumulated BATCH-var contributions
+        # only; the shared init value 1.0 has decayed by momentum^(2*STEPS)
+        # (two predictor calls per step) and must not be scaled
+        corrected = np.asarray(fbn["var"]) * c - 0.9 ** (2 * STEPS) * (c - 1)
+        np.testing.assert_allclose(
+            corrected, torch_bn["var"].numpy(), rtol=2e-4, atol=1e-6,
+        )

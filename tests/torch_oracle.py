@@ -17,7 +17,12 @@ import torch.nn.functional as F
 
 
 def t(x) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+    if isinstance(x, torch.Tensor):
+        return x  # pass-through so trees of torch Parameters can be injected
+    # follow torch's default dtype so the trajectory test can run the whole
+    # oracle in float64 (torch.set_default_dtype) while parity tests stay f32
+    np_dtype = np.float64 if torch.get_default_dtype() == torch.float64 else np.float32
+    return torch.from_numpy(np.asarray(x, dtype=np_dtype))
 
 
 def linear(x, kernel, bias=None):
@@ -84,8 +89,8 @@ def masking_from_noise(x, noise, mask_ratio):
     return x_masked, mask, ids_restore
 
 
-def mae_forward(vol, noise, params, cfg, pos_embed, decoder_pos_embed):
-    """Full MAE forward from flax params; returns (pred, mask, latent)."""
+def mae_encode(vol, noise, params, cfg, pos_embed, mask_ratio=0.75):
+    """MAE encoder from flax params; returns (latent, mask, ids_restore)."""
     p = params
     x = patch_embed_conv3d(
         t(vol), p["patch_embed"]["proj"]["kernel"], p["patch_embed"]["proj"]["bias"],
@@ -93,12 +98,19 @@ def mae_forward(vol, noise, params, cfg, pos_embed, decoder_pos_embed):
     )
     pe = t(pos_embed)
     x = x + pe[:, 1:, :]
-    x, mask, ids_restore = masking_from_noise(x, t(noise), 0.75)
+    x, mask, ids_restore = masking_from_noise(x, t(noise), mask_ratio)
     cls = t(p["cls_token"]) + pe[:, :1, :]
     x = torch.cat([cls.expand(x.shape[0], -1, -1), x], dim=1)
     for i in range(cfg.depth):
         x = block(x, p[f"blocks_{i}"], cfg.num_heads)
     latent = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+    return latent, mask, ids_restore
+
+
+def mae_forward(vol, noise, params, cfg, pos_embed, decoder_pos_embed):
+    """Full MAE forward from flax params; returns (pred, mask, latent)."""
+    p = params
+    latent, mask, ids_restore = mae_encode(vol, noise, params, cfg, pos_embed)
 
     # decoder
     x = linear(latent, p["decoder_embed"]["kernel"], p["decoder_embed"]["bias"])
@@ -133,3 +145,123 @@ def vit_forward_features(vol, params, cfg, global_pool=True):
         return layer_norm(pooled, p["fc_norm"]["scale"], p["fc_norm"]["bias"])
     x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
     return x[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Trajectory-oracle pieces: differentiable loss components + the reference's
+# optimizer/schedule semantics, for the composed training-update parity test
+# (tests/test_train_trajectory.py). Mirrors:
+#   unpatchify            reference vit_autoenc.py:115-128
+#   sobel/gaussian        reference sobel_filter.py:37-45, gaussian_filter.py:5-26
+#   predictor (BN MLP)    reference vit_autoenc.py:263-268
+#   add_weight_decay      timm 0.5.4 optim_factory (no-decay iff ndim == 1,
+#                         i.e. biases/norm scales; cls/mask tokens DECAY),
+#                         as called in k_fold_cross_valid_combined_brats.py:168
+#   adjust_learning_rate  reference utils/lr_sched.py:9-21
+# ---------------------------------------------------------------------------
+
+_SOBEL3 = None
+
+
+def _sobel_bank():
+    global _SOBEL3
+    if _SOBEL3 is None:
+        gx = torch.tensor(
+            [[[1, 0, -1], [2, 0, -2], [1, 0, -1]],
+             [[2, 0, -2], [4, 0, -4], [2, 0, -2]],
+             [[1, 0, -1], [2, 0, -2], [1, 0, -1]]], dtype=torch.float32)
+        gy = torch.tensor(
+            [[[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
+             [[-2, -4, -2], [0, 0, 0], [2, 4, 2]],
+             [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]], dtype=torch.float32)
+        gz = torch.tensor(
+            [[[-1, -2, -1], [-2, -4, -2], [-1, -2, -1]],
+             [[0, 0, 0], [0, 0, 0], [0, 0, 0]],
+             [[1, 2, 1], [2, 4, 2], [1, 2, 1]]], dtype=torch.float32)
+        _SOBEL3 = torch.stack([gx, gy, gz]).unsqueeze(1)
+    return _SOBEL3
+
+
+def sobel_edges_t(x: torch.Tensor) -> torch.Tensor:
+    """(B, C, S, S, S) -> (B, S, S, S), differentiable."""
+    out = 0
+    bank = _sobel_bank().to(x.dtype)  # integer taps: exact in any float dtype
+    for idx in range(x.shape[1]):
+        g = F.conv3d(x[:, idx: idx + 1], bank, padding=1)
+        out = out + torch.sqrt(g[:, 0] ** 2 + g[:, 1] ** 2 + g[:, 2] ** 2)
+    return out
+
+
+def gaussian_blur_t(x: torch.Tensor, sigma: float) -> torch.Tensor:
+    """Dense k (x) k (x) k 3D blur with the reference's non-integer linspace
+    taps (gaussian_filter.py:5-26), differentiable. Taps are computed in
+    float32 then widened, matching ops/filters.py:138 (np.float32 taps) so
+    the f64 trajectory oracle sees bit-identical tap values."""
+    ks = int(sigma * 5)
+    if ks % 2 == 0:
+        ks += 1
+    ts = torch.linspace(-ks // 2, ks // 2 + 1, ks, dtype=torch.float32)
+    gauss = torch.exp(-((ts / sigma) ** 2) / 2)
+    k = gauss / gauss.sum()
+    k3d = torch.einsum("i,j,k->ijk", k, k, k)
+    k3d = (k3d / k3d.sum()).reshape(1, 1, ks, ks, ks).to(x.dtype)
+    outs = [
+        F.conv3d(x[:, i: i + 1], k3d, padding=ks // 2) for i in range(x.shape[1])
+    ]
+    return torch.cat(outs, dim=1)
+
+
+def unpatchify_t(x: torch.Tensor, patch_size: int) -> torch.Tensor:
+    """(N, L, p^3*C) -> (N, C, S, S, S), inverse of ops.patchify layout
+    ((z,y,x) raster, (dz, dy, dx, c) within a patch, c fastest)."""
+    n, l, d = x.shape
+    p = patch_size
+    g = round(l ** (1 / 3))
+    c = d // (p ** 3)
+    x = x.reshape(n, g, g, g, p, p, p, c)
+    x = x.permute(0, 7, 1, 4, 2, 5, 3, 6)
+    return x.reshape(n, c, g * p, g * p, g * p)
+
+
+def predictor_forward(x, p, bn_stats, train=True):
+    """The contrastive predictor: Linear(no bias) -> BatchNorm1d -> ReLU ->
+    Linear, from flax param naming (heads/predictor/...). `bn_stats` holds
+    the running mean/var buffers (mutated in train mode, torch semantics:
+    running_var updated with the UNBIASED batch var — flax uses the biased
+    one, which only affects eval-mode stats, never the training trajectory)."""
+    x = x @ t(p["Dense_0"]["kernel"])
+    x = F.batch_norm(
+        x, bn_stats["mean"], bn_stats["var"],
+        t(p["BatchNorm_0"]["scale"]), t(p["BatchNorm_0"]["bias"]),
+        training=train, momentum=0.1, eps=1e-5,
+    )
+    x = F.relu(x)
+    return x @ t(p["Dense_1"]["kernel"]) + t(p["Dense_1"]["bias"])
+
+
+def add_weight_decay_groups(named_leaves, weight_decay):
+    """timm 0.5.4 optim_factory.add_weight_decay over a flat list of
+    (name, torch.nn.Parameter): no-decay iff ndim == 1 (flax biases and norm
+    scales are 1-D, exactly the tensors torch's `len(param.shape) == 1 or
+    name.endswith('.bias')` rule exempts); cls_token/mask_token/pos-embed
+    style (1, 1, D) leaves DECAY, as in the reference (no skip list passed)."""
+    decay, no_decay = [], []
+    for _name, param in named_leaves:
+        (no_decay if param.ndim == 1 else decay).append(param)
+    return [
+        {"params": no_decay, "weight_decay": 0.0},
+        {"params": decay, "weight_decay": weight_decay},
+    ]
+
+
+def adjust_learning_rate(optimizer, epoch, lr, min_lr, warmup_epochs, total_epochs):
+    """reference utils/lr_sched.py:9-21 (fractional `epoch`, per iteration)."""
+    if epoch < warmup_epochs:
+        cur = lr * epoch / warmup_epochs
+    else:
+        cur = min_lr + (lr - min_lr) * 0.5 * (
+            1.0 + math.cos(math.pi * (epoch - warmup_epochs) / (total_epochs - warmup_epochs))
+        )
+    for group in optimizer.param_groups:
+        group["lr"] = cur
+    return cur

@@ -63,6 +63,10 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="opt-in bfloat16 runs the edge-loss Sobel/blur "
                         "einsums in bf16 (non-parity precision)")
+    p.add_argument("--ln-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="opt-in bf16 block-LN statistics (non-parity "
+                        "precision lever, measured in BASELINE.md)")
     p.add_argument("--model", default="contr_mae_vit_base_patch16")
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--n-devices", type=int, default=None)
@@ -116,6 +120,7 @@ def _configs(args) -> tuple:
             profile_dir=getattr(args, "profile_dir", None),
             vgg_ckpt=getattr(args, "vgg_ckpt", None),
             loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
+            ln_dtype=getattr(args, "ln_dtype", "float32"),
             pipe_devices=getattr(args, "pipe_devices", 1),
             pp_microbatches=getattr(args, "pp_microbatches", None),
             fsdp=getattr(args, "fsdp", False),
@@ -137,6 +142,7 @@ def _configs(args) -> tuple:
         perceptual_weight=getattr(args, "perceptual_weight", 0.0),
         vgg_ckpt=getattr(args, "vgg_ckpt", None),
         loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
+        ln_dtype=getattr(args, "ln_dtype", "float32"),
         pipe_devices=getattr(args, "pipe_devices", 1),
         pp_microbatches=getattr(args, "pp_microbatches", None),
         fsdp=getattr(args, "fsdp", False),

@@ -33,6 +33,9 @@ class ViTConfig:
     dtype: str = "float32"  # compute dtype; params stay float32
     attn_impl: str = "auto"
     ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
+    ln_dtype: str = "float32"  # opt-in "bfloat16": block-LN statistics in
+    # bf16 (flax pins LN stats to >= f32); non-parity precision lever like
+    # loss_filters_dtype — measured in BASELINE.md
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
     batch_shard_activations: bool = False  # pin the residual stream P('data')
     # at every block entry (models/vit.py constrain_batch) — the FSDP path
@@ -73,6 +76,9 @@ class MAEConfig:
     dtype: str = "float32"
     attn_impl: str = "auto"
     ln_fusion: str = "auto"  # fused LN+Dense Pallas kernel ('auto'/'on'/'off')
+    ln_dtype: str = "float32"  # opt-in "bfloat16": block-LN statistics in
+    # bf16 (flax pins LN stats to >= f32); non-parity precision lever like
+    # loss_filters_dtype — measured in BASELINE.md
     remat_blocks: bool = False  # jax.checkpoint each block (memory for FLOPs)
     batch_shard_activations: bool = False  # pin the residual stream P('data')
     # at every block entry (models/vit.py constrain_batch) — the FSDP path
@@ -108,6 +114,7 @@ class MAEConfig:
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             ln_fusion=self.ln_fusion,
+            ln_dtype=self.ln_dtype,
         )
 
 
@@ -140,6 +147,7 @@ class TrainConfig:
     norm_pix_loss: bool = False
     # tpu execution
     compute_dtype: str = "float32"  # "bfloat16" for max throughput
+    ln_dtype: str = "float32"  # opt-in "bfloat16": block-LN stats precision
     loss_filters_dtype: str = "float32"  # opt-in "bfloat16": run the edge-loss
     # Sobel/blur banded einsums in bf16 (non-parity precision; the parity
     # default keeps the whole loss pipeline f32 like the reference)

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Naive-but-fused attention; parity target model/vit.py:117-121."""
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    # stable softmax in f32 regardless of compute dtype
-    scores = scores.astype(jnp.float32)
+    # stable softmax in AT LEAST f32 (bf16 upcasts; f64 under x64 stays f64 —
+    # a downcast here injects f32 rounding into the softmax's row-shift
+    # invariance, which Adam amplifies on the gradient-free K bias)
+    scores = scores.astype(jnp.promote_types(scores.dtype, jnp.float32))
     weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 

@@ -60,6 +60,7 @@ class MaskedAutoencoderViT3D(nn.Module):
         self.blocks = [
             block_cls(c.num_heads, c.mlp_ratio, attn_impl=c.attn_impl, dtype=dtype,
                       ln_fusion=c.ln_fusion,
+                      ln_dtype=getattr(c, "ln_dtype", "float32"),
                       batch_constraint=c.batch_shard_activations,
                       name=f"blocks_{i}")
             for i in range(c.depth)
@@ -79,6 +80,7 @@ class MaskedAutoencoderViT3D(nn.Module):
                 attn_impl=c.attn_impl,
                 dtype=dtype,
                 ln_fusion=c.ln_fusion,
+                ln_dtype=getattr(c, "ln_dtype", "float32"),
                 batch_constraint=c.batch_shard_activations,
                 name=f"decoder_blocks_{i}",
             )

@@ -34,7 +34,10 @@ token_init = nn.initializers.normal(stddev=0.02)
 
 
 def _dt(name: str):
-    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+    """Compute dtype by name. 'float64' resolves only under jax_enable_x64
+    (the torch-oracle trajectory test); on TPU the real choices are
+    float32/bfloat16."""
+    return jnp.dtype(name)
 
 
 class FusedLayerNorm(nn.Module):
@@ -243,6 +246,22 @@ class Attention(nn.Module):
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
+def ln_stats_dtype(x, scale, bias, dtype, eps=1e-6):
+    """LayerNorm with statistics computed in `dtype`.
+
+    flax nn.LayerNorm pins its mean/var to at least f32; this is the opt-in
+    `--ln-dtype bfloat16` lever (BASELINE.md): stats, normalisation and the
+    affine all run at the compute precision, deleting the bf16->f32 converts
+    that feed the reductions. Two-pass variance (not fast-variance): the
+    mean(x^2) - mean(x)^2 cancellation is catastrophic in bf16."""
+    xd = x.astype(dtype)
+    mu = jnp.mean(xd, axis=-1, keepdims=True)
+    d = xd - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    y = d * jax.lax.rsqrt(var + jnp.asarray(eps, dtype))
+    return y * scale.astype(dtype) + bias.astype(dtype)
+
+
 class Block(nn.Module):
     """Pre-LN transformer block (reference model/vit.py:126-144).
 
@@ -259,6 +278,7 @@ class Block(nn.Module):
     attn_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     ln_fusion: str = "auto"
+    ln_dtype: str = "float32"  # "bfloat16": LN stats at compute precision
     batch_constraint: bool = False  # FSDP: see constrain_batch
 
     @nn.compact
@@ -266,6 +286,7 @@ class Block(nn.Module):
         if self.batch_constraint:
             x = constrain_batch(x)
         dim = x.shape[-1]
+        low_ln = self.ln_dtype == "bfloat16"
         fuse_qkv = _use_fused_ln(self.ln_fusion, dim, self.dtype, "qkv")
         fuse_mlp = _use_fused_ln(self.ln_fusion, dim, self.dtype, "mlp")
         attn = Attention(
@@ -281,11 +302,17 @@ class Block(nn.Module):
         )
         if fuse_qkv:
             x = x + attn(x, deterministic, ln=LNParams(dim, name="norm1")())
+        elif low_ln:
+            sc, bi = LNParams(dim, name="norm1")()  # same param paths
+            x = x + attn(ln_stats_dtype(x, sc, bi, jnp.bfloat16), deterministic)
         else:
             y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
             x = x + attn(y, deterministic)
         if fuse_mlp:
             x = x + mlp(x, deterministic, ln=LNParams(dim, name="norm2")())
+        elif low_ln:
+            sc, bi = LNParams(dim, name="norm2")()
+            x = x + mlp(ln_stats_dtype(x, sc, bi, jnp.bfloat16), deterministic)
         else:
             y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
             x = x + mlp(y, deterministic)
@@ -331,6 +358,7 @@ class VisionTransformer3D(nn.Module):
                 attn_dropout=c.attn_drop_rate,
                 dtype=_dt(c.dtype),
                 ln_fusion=c.ln_fusion,
+                ln_dtype=getattr(c, "ln_dtype", "float32"),
                 batch_constraint=c.batch_shard_activations,
                 name=f"blocks_{i}",
             )
@@ -394,8 +422,11 @@ class MLPHead(nn.Module):
             x = nn.Dense(
                 self.dim, use_bias=False, kernel_init=torch_linear_init, dtype=self.dtype
             )(x)
+            # dtype=None: flax promotes input+params (bf16/f32 inputs
+            # compute in f32 exactly as a pinned f32 did; f64 stays f64 for
+            # the x64 trajectory oracle)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=None
             )(x)
             x = nn.relu(x)
         if self.final_dense:
@@ -410,7 +441,7 @@ class MLPHead(nn.Module):
                 epsilon=1e-5,
                 use_bias=self.final_bn_affine,
                 use_scale=self.final_bn_affine,
-                dtype=jnp.float32,
+                dtype=None,
             )(x)
         return x
 

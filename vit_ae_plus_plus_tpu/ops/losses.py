@@ -1,8 +1,12 @@
 """Loss terms of the ViT-AE++ composite objective, as pure functions.
 
-All reductions are performed in float32 regardless of compute dtype (TPU
-bf16-compute / f32-reduce policy — replaces the reference's AMP GradScaler,
-which the SSL loop disabled anyway, reference utils/train_one_epoch.py:50).
+All reductions are performed in AT LEAST float32 regardless of compute dtype
+(TPU bf16-compute / f32-reduce policy — replaces the reference's AMP
+GradScaler, which the SSL loop disabled anyway, reference
+utils/train_one_epoch.py:50). Wider inputs keep their width: under
+jax_enable_x64 a float64 pipeline stays float64, which the torch-oracle
+trajectory test (tests/test_train_trajectory.py) relies on to separate
+semantic divergence from f32 rounding noise.
 """
 
 from __future__ import annotations
@@ -12,22 +16,27 @@ from typing import Optional
 import jax.numpy as jnp
 
 
+def at_least_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast sub-f32 inputs (bf16) to f32; leave f32/f64 untouched."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean MSE over *removed* patches only.
 
     Parity: reference vit_autoenc.py:226-227 — per-patch mean over the feature
     dim, then masked mean over patches (mask: 1 = removed).
     """
-    pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
+    pred = at_least_f32(pred)
+    target = at_least_f32(target)
+    mask = at_least_f32(mask)
     per_patch = jnp.mean((pred - target) ** 2, axis=-1)
     return jnp.sum(per_patch * mask) / jnp.sum(mask)
 
 
 def edge_map_loss(pred_edges: jnp.ndarray, target_edges: jnp.ndarray) -> jnp.ndarray:
     """Plain mean MSE between edge maps (reference vit_autoenc.py:224)."""
-    diff = pred_edges.astype(jnp.float32) - target_edges.astype(jnp.float32)
+    diff = at_least_f32(pred_edges) - at_least_f32(target_edges)
     return jnp.mean(diff * diff)
 
 
@@ -43,8 +52,8 @@ def negative_cosine_loss(
     """
 
     def _cos(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
+        a = at_least_f32(a)
+        b = at_least_f32(b)
         na = jnp.maximum(jnp.linalg.norm(a, axis=1), eps)
         nb = jnp.maximum(jnp.linalg.norm(b, axis=1), eps)
         return jnp.sum(a * b, axis=1) / (na * nb)

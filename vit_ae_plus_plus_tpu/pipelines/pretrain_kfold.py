@@ -63,6 +63,7 @@ def pretrain_one_fold(
         patch_size=getattr(train_cfg, "patch_size", 8),
         norm_pix_loss=train_cfg.norm_pix_loss,
         dtype=train_cfg.compute_dtype,
+        ln_dtype=getattr(train_cfg, "ln_dtype", "float32"),
     )
     model = build_model(mae_cfg)
 

@@ -37,6 +37,7 @@ from vit_ae_plus_plus_tpu.ops import (
     sobel_edges_3d,
     unpatchify,
 )
+from vit_ae_plus_plus_tpu.ops.losses import at_least_f32
 
 
 def mae_loss_terms(
@@ -55,10 +56,10 @@ def mae_loss_terms(
     """Model outputs + input -> (total_loss, metrics dict)."""
     pred, mask = outputs["pred"], outputs["mask"]
 
-    pred_f32 = pred.astype(jnp.float32)
+    pred_f32 = at_least_f32(pred)
     pred_vol = unpatchify(pred_f32, patch_size)
     if norm_pix_loss:
-        target = patchify(view1, patch_size).astype(jnp.float32)
+        target = at_least_f32(patchify(view1, patch_size))
         mean = target.mean(axis=-1, keepdims=True)
         var = target.var(axis=-1, keepdims=True)
         target = (target - mean) / (var + 1.0e-6) ** 0.5
@@ -77,12 +78,12 @@ def mae_loss_terms(
         g = view1.shape[-1] // patch_size
         s = view1.shape[-1]
         mask_vox = jnp.broadcast_to(
-            mask.reshape(b, 1, g, 1, g, 1, g, 1).astype(jnp.float32),
+            at_least_f32(mask).reshape(b, 1, g, 1, g, 1, g, 1),
             (b, 1, g, patch_size, g, patch_size, g, patch_size),
         ).reshape(b, 1, s, s, s)
-        sq = (pred_vol - view1.astype(jnp.float32)) ** 2
+        sq = (pred_vol - at_least_f32(view1)) ** 2
         recon = jnp.sum(sq * mask_vox) / (
-            jnp.sum(mask.astype(jnp.float32)) * patch_size**3 * pred_vol.shape[1]
+            jnp.sum(at_least_f32(mask)) * patch_size**3 * pred_vol.shape[1]
         )
 
     # Opt-in bf16 edge-loss filters: the Sobel/blur banded einsums run at the
@@ -90,7 +91,7 @@ def mae_loss_terms(
     # contract keeps the loss pipeline f32 like the reference; the edge term is
     # an auxiliary regulariser (weight <= 0.01) so bf16 filter precision is
     # ample (equivalence bounded in tests/test_ops_losses.py).
-    fdt = jnp.bfloat16 if filters_dtype == "bfloat16" else jnp.float32
+    fdt = jnp.dtype(filters_dtype)
     pred_edges = sobel_edges_3d(pred_vol.astype(fdt))
     target_edges = sobel_edges_3d(gaussian_blur_3d(target_vol.astype(fdt), 2.0))
     raw_edge = edge_map_loss(pred_edges, target_edges)

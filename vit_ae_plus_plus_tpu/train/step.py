@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vit_ae_plus_plus_tpu.ops.losses import at_least_f32
 from vit_ae_plus_plus_tpu.train.objective import mae_loss_terms
 from vit_ae_plus_plus_tpu.train.state import TrainState
 
@@ -95,7 +96,7 @@ def make_train_step(
             outputs, new_bs = forward_fn(variables, view1, view2, rng1)
             total, metrics = mae_loss_terms(
                 outputs,
-                view1.astype(jnp.float32),
+                at_least_f32(view1),
                 patch_size,
                 edge_map_weight=edge_map_weight,
                 contr_weight=contr_weight,
@@ -159,7 +160,7 @@ def make_eval_step(
             train=False,
         )
         _, metrics = mae_loss_terms(
-            outputs, view1.astype(jnp.float32), patch_size, norm_pix_loss=norm_pix_loss
+            outputs, at_least_f32(view1), patch_size, norm_pix_loss=norm_pix_loss
         )
         return metrics
 
