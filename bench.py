@@ -303,7 +303,10 @@ def measure_serving(batch: int = 16, seconds: float = 8.0, clients: int = 32,
         queue.close()
 
 
-def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2) -> dict:
+def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2,
+                           volume_size: int = 96, patch_size: int = 8,
+                           batch_size: int = 8,
+                           model: str = "contr_mae_vit_base_patch16") -> dict:
     """The reference's four-stage user journey (README.MD:4-33) chained on
     the real device through the CLI entry points: prepare-data ->
     pretrain-kfold (2 folds; includes the built-in graft+extract) ->
@@ -311,7 +314,9 @@ def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2) -> dict:
     eval-classical over the per-fold SSL features -> sanity-viz PNG stacks.
     Returns per-stage wall-clock seconds (VERDICT r3 #4). Stage times
     include jit compiles (amortised by the persistent cache on re-runs);
-    tiny epoch counts, full 96^3 flagship shape."""
+    tiny epoch counts, full 96^3 flagship shape by default (the size/model
+    parameters exist so CI can run the same harness at toy shapes on CPU —
+    tests/test_bench_chain.py)."""
     import shutil
     import tempfile
 
@@ -319,8 +324,9 @@ def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2) -> dict:
 
     root = tempfile.mkdtemp(prefix="bench_chain_")
     rng = np.random.default_rng(0)
+    S = volume_size
     np.save(os.path.join(root, "flair_all.npy"),
-            rng.standard_normal((n_volumes, 96, 96, 96, 1)).astype(np.float32))
+            rng.standard_normal((n_volumes, S, S, S, 1)).astype(np.float32))
     np.save(os.path.join(root, "label_all.npy"),
             np.array([0, 1] * (n_volumes // 2)))
     splits = os.path.join(root, "splits")
@@ -345,14 +351,17 @@ def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2) -> dict:
         ])
         stage("pretrain_kfold", [
             "pretrain-kfold", "--data-path", splits, "--work-dir", work,
-            "--volume-size", "96", "--patch-size", "8",
-            "--epochs", str(epochs), "--n-splits", "2", "--batch-size", "8",
+            "--model", model,
+            "--volume-size", str(S), "--patch-size", str(patch_size),
+            "--epochs", str(epochs), "--n-splits", "2",
+            "--batch-size", str(batch_size),
             "--compute-dtype", "bfloat16", "--device-data",
         ])
         stage("extract_features", [
             "extract-features", "--data-path", splits, "--work-dir", feats,
-            "--checkpoint", ckpt, "--volume-size", "96", "--patch-size", "8",
-            "--batch-size", "8", "--compute-dtype", "bfloat16",
+            "--checkpoint", ckpt, "--model", model,
+            "--volume-size", str(S), "--patch-size", str(patch_size),
+            "--batch-size", str(batch_size), "--compute-dtype", "bfloat16",
         ])
         assert os.path.exists(os.path.join(feats, "test_features.npy"))
         stage("eval_classical", [
@@ -362,7 +371,8 @@ def measure_workflow_chain(n_volumes: int = 40, epochs: int = 2) -> dict:
         ])
         stage("sanity_viz", [
             "sanity-viz", "--data-path", splits, "--work-dir", viz,
-            "--checkpoint", ckpt, "--volume-size", "96", "--patch-size", "8",
+            "--checkpoint", ckpt, "--model", model,
+            "--volume-size", str(S), "--patch-size", str(patch_size),
             "--compute-dtype", "bfloat16", "--num-samples", "2",
         ])
         stages["chain_total_s"] = round(sum(stages.values()), 2)
