@@ -255,7 +255,11 @@ def add_weight_decay_groups(named_leaves, weight_decay):
 
 
 def adjust_learning_rate(optimizer, epoch, lr, min_lr, warmup_epochs, total_epochs):
-    """reference utils/lr_sched.py:9-21 (fractional `epoch`, per iteration)."""
+    """reference utils/lr_sched.py:9-21 (fractional `epoch`, per iteration).
+
+    Groups carrying an `lr_scale` entry (the layer-wise-decay groups built by
+    `param_groups_lrd` below) get `lr * lr_scale`, exactly as lr_sched.py:17-20.
+    """
     if epoch < warmup_epochs:
         cur = lr * epoch / warmup_epochs
     else:
@@ -263,5 +267,50 @@ def adjust_learning_rate(optimizer, epoch, lr, min_lr, warmup_epochs, total_epoc
             1.0 + math.cos(math.pi * (epoch - warmup_epochs) / (total_epochs - warmup_epochs))
         )
     for group in optimizer.param_groups:
-        group["lr"] = cur
+        group["lr"] = cur * group.get("lr_scale", 1.0)
     return cur
+
+
+def param_groups_lrd(named_leaves, weight_decay, depth, layer_decay=0.75,
+                     no_decay_names=("pos_embed", "cls_token", "dist_token")):
+    """reference utils/lr_decay.py::param_groups_lrd over a flat list of
+    (flax_path_name, torch.nn.Parameter):
+
+    - no decay iff ndim == 1 OR top-level name in model.no_weight_decay()
+      ({pos_embed, cls_token, dist_token}, reference vit.py:251);
+    - layer id per get_layer_id_for_vit (lr_decay.py:63-75): cls/pos/patch
+      embed -> 0, blocks_i -> i+1, everything else (fc_norm/norm/head) ->
+      num_layers = depth + 1;
+    - per-group lr_scale = layer_decay ** (num_layers - layer_id),
+      consumed by adjust_learning_rate above.
+    """
+    num_layers = depth + 1
+    scales = [layer_decay ** (num_layers - i) for i in range(num_layers + 1)]
+    groups = {}
+    for name, param in named_leaves:
+        top = name.split("/")[0]
+        if param.ndim == 1 or top in no_decay_names:
+            this_decay = 0.0
+        else:
+            this_decay = weight_decay
+        if top in ("cls_token", "pos_embed") or top.startswith("patch_embed"):
+            lid = 0
+        elif top.startswith("blocks_"):
+            lid = int(top.split("_")[1]) + 1
+        else:
+            lid = num_layers
+        key = (lid, this_decay)
+        if key not in groups:
+            groups[key] = {"params": [], "weight_decay": this_decay,
+                           "lr_scale": scales[lid]}
+        groups[key]["params"].append(param)
+    return list(groups.values())
+
+
+def soft_ce_with_weights(logits, soft_targets, weights):
+    """reference utils/custom_loss.py::SoftCrossEntropyWithWeightsLoss:
+    sum over the BATCH dim of -y * (log_softmax(logits) * w), normalised by
+    w.sum(), then mean over classes (the dim=0 choice its comment insists
+    on)."""
+    weighted_logits = torch.nn.functional.log_softmax(logits, dim=-1) * weights
+    return (torch.sum(-soft_targets * weighted_logits, dim=0) / weights.sum()).mean()

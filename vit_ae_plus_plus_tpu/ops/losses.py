@@ -73,13 +73,14 @@ def soft_cross_entropy_with_weights(
     SoftTargetCrossEntropy, which is what the reference self-test checks
     (custom_loss.py:24-30).
     """
-    logits = logits.astype(jnp.float32)
+    logits = at_least_f32(logits)  # keeps f64 in the x64 trajectory tests
     log_probs = logits - jnp.max(logits, axis=-1, keepdims=True)
     log_probs = log_probs - jnp.log(jnp.sum(jnp.exp(log_probs), axis=-1, keepdims=True))
     if weights is None:
-        weights = jnp.ones(logits.shape[-1], dtype=jnp.float32)
+        weights = jnp.ones(logits.shape[-1], dtype=logits.dtype)
     else:
-        weights = weights.astype(jnp.float32)
+        weights = at_least_f32(weights).astype(logits.dtype)
     num_classes = logits.shape[-1]
-    total = jnp.sum(-soft_targets.astype(jnp.float32) * log_probs * weights[None, :])
+    total = jnp.sum(-at_least_f32(soft_targets).astype(logits.dtype)
+                    * log_probs * weights[None, :])
     return total / (jnp.sum(weights) * num_classes)
