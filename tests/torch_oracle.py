@@ -307,6 +307,93 @@ def param_groups_lrd(named_leaves, weight_decay, depth, layer_decay=0.75,
     return list(groups.values())
 
 
+# ---------------------------------------------------------------------------
+# MoCo-v3 trajectory-oracle pieces (tests/test_moco_trajectory.py). Mirrors:
+#   _build_mlp            reference other_baselines/mocov3/moco/builder.py:36-52
+#   contrastive_loss      builder.py:63-75 (CE over arange labels, * 2T)
+#   _update_momentum_...  builder.py:57-61 (parameters only, buffers excluded)
+#   LARS                  moco/optimizer.py:10-43 (trust ratio + wd for >1-D
+#                         params only, momentum SGD)
+#   adjust_moco_momentum  main_3d_moco_k_fold.py:539-542
+# ---------------------------------------------------------------------------
+
+
+def moco_mlp_forward(x, p, num_layers, last_bn, train=True):
+    """The reference's _build_mlp from flax param naming: [Linear(no bias) ->
+    BatchNorm1d -> ReLU] x (n-1) -> Linear(no bias) [-> affine-free BN].
+    Running buffers are irrelevant to the training trajectory (train-mode BN
+    normalises with batch statistics), so none are threaded here."""
+    for layer in range(num_layers):
+        x = x @ t(p[f"Dense_{layer}"]["kernel"])
+        if layer < num_layers - 1:
+            bn = p[f"BatchNorm_{layer}"]
+            x = F.batch_norm(x, None, None, t(bn["scale"]), t(bn["bias"]),
+                             training=train, momentum=0.1, eps=1e-5)
+            x = F.relu(x)
+        elif last_bn:
+            x = F.batch_norm(x, None, None, None, None,
+                             training=train, momentum=0.1, eps=1e-5)
+    return x
+
+
+def moco_vit_encode(vol, p, cfg, use_predictor, predictor_layers=2):
+    """MoCoViT3D forward from flax params: cls-token trunk feature (the
+    reference builds its ViT with global_pool=False, vit_3d.py:226) ->
+    3-layer projector [-> 2-layer predictor, base encoder only]."""
+    feats = vit_forward_features(vol, p["trunk"], cfg, global_pool=False)
+    z = moco_mlp_forward(feats, p["projector"], 3, last_bn=True)
+    if use_predictor:
+        z = moco_mlp_forward(z, p["predictor"], predictor_layers, last_bn=True)
+    return z
+
+
+def moco_contrastive_loss(q, k, temperature):
+    """builder.py:63-75: normalise, q @ k.T / T, CE over arange labels, *2T."""
+    q = F.normalize(q, dim=1)
+    k = F.normalize(k, dim=1)
+    logits = q @ k.T / temperature
+    labels = torch.arange(logits.shape[0], dtype=torch.long)
+    return F.cross_entropy(logits, labels) * (2.0 * temperature)
+
+
+def moco_momentum_schedule(epoch, epochs, moco_m):
+    """main_3d_moco_k_fold.py:539-542 (fractional epoch, per iteration)."""
+    return 1.0 - 0.5 * (1.0 + math.cos(math.pi * epoch / epochs)) * (1.0 - moco_m)
+
+
+class RefLARS(torch.optim.Optimizer):
+    """The MoCo-v3 LARS semantics (moco/optimizer.py:10-43): for parameters
+    with ndim > 1, add weight decay and rescale the update by the layer trust
+    ratio tc * ||p|| / ||grad + wd*p|| (1 where either norm is zero); <=1-D
+    parameters get neither. Then heavy-ball momentum and an SGD step."""
+
+    def __init__(self, params, lr, weight_decay=0.0, momentum=0.9,
+                 trust_coefficient=0.001):
+        super().__init__(params, dict(lr=lr, weight_decay=weight_decay,
+                                      momentum=momentum,
+                                      trust_coefficient=trust_coefficient))
+
+    @torch.no_grad()
+    def step(self):
+        for group in self.param_groups:
+            for p in group["params"]:
+                if p.grad is None:
+                    continue
+                d = p.grad
+                if p.ndim > 1:
+                    d = d + group["weight_decay"] * p
+                    pn, dn = torch.norm(p), torch.norm(d)
+                    ratio = torch.where(
+                        (pn > 0) & (dn > 0),
+                        group["trust_coefficient"] * pn / dn,
+                        torch.ones_like(pn),
+                    )
+                    d = d * ratio
+                buf = self.state[p].setdefault("mu", torch.zeros_like(p))
+                buf.mul_(group["momentum"]).add_(d)
+                p.add_(buf, alpha=-group["lr"])
+
+
 def soft_ce_with_weights(logits, soft_targets, weights):
     """reference utils/custom_loss.py::SoftCrossEntropyWithWeightsLoss:
     sum over the BATCH dim of -y * (log_softmax(logits) * w), normalised by

@@ -24,7 +24,7 @@ import flax.linen as nn
 import optax
 
 from vit_ae_plus_plus_tpu.configs import ViTConfig
-from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D, torch_linear_init
+from vit_ae_plus_plus_tpu.models.vit import VisionTransformer3D, _dt, torch_linear_init
 
 
 class MoCoMLP(nn.Module):
@@ -39,17 +39,21 @@ class MoCoMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # BN statistics at least at f32 (the bf16 policy everywhere else in the
+        # package, ops/losses.py::at_least_f32); widens to f64 under the
+        # trajectory-oracle tests so the heads don't silently round to f32
+        bn_dtype = jnp.promote_types(jnp.float32, self.dtype)
         for layer in range(self.num_layers):
             dim2 = self.out_dim if layer == self.num_layers - 1 else self.mlp_dim
             x = nn.Dense(dim2, use_bias=False, kernel_init=torch_linear_init,
                          dtype=self.dtype)(x)
             if layer < self.num_layers - 1:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32)(x)
+                                 epsilon=1e-5, dtype=bn_dtype)(x)
                 x = nn.relu(x)
             elif self.last_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                                 use_bias=False, use_scale=False, dtype=jnp.float32)(x)
+                                 use_bias=False, use_scale=False, dtype=bn_dtype)(x)
         return x
 
 
@@ -65,8 +69,9 @@ class MoCoViT3D(nn.Module):
         # trunk with no classifier head (head deleted, builder.py:116-117)
         trunk_cfg = ViTConfig(**{**self.cfg.__dict__, "num_classes": 0})
         self.trunk = VisionTransformer3D(trunk_cfg)
-        self.projector = MoCoMLP(3, self.mlp_dim, self.dim, last_bn=True)
-        self.predictor = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=True)
+        dt = _dt(self.cfg.dtype)  # heads follow the trunk's compute dtype
+        self.projector = MoCoMLP(3, self.mlp_dim, self.dim, last_bn=True, dtype=dt)
+        self.predictor = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=True, dtype=dt)
 
     def __call__(self, x, train: bool = True, use_predictor: bool = False):
         feats = self.trunk(x, train=train)
@@ -92,6 +97,7 @@ class MoCoResNet3D(nn.Module):
     depth: int = 10
     dim: int = 256
     mlp_dim: int = 4096
+    dtype: Any = jnp.float32
 
     def setup(self):
         from vit_ae_plus_plus_tpu.models.resnet3d import ResNet3D
@@ -99,8 +105,10 @@ class MoCoResNet3D(nn.Module):
         # n_classes is irrelevant: the fc head is never called (deleted in the
         # reference, builder.py:104) — return_features bypasses it
         self.trunk = ResNet3D(depth=self.depth, n_classes=0)
-        self.projector = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=True)
-        self.predictor = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=False)
+        self.projector = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=True,
+                                 dtype=self.dtype)
+        self.predictor = MoCoMLP(2, self.mlp_dim, self.dim, last_bn=False,
+                                 dtype=self.dtype)
 
     def __call__(self, x, train: bool = True, use_predictor: bool = False):
         feats = self.trunk(x, train=train, return_features=True)

@@ -78,11 +78,20 @@ class TwoCropsDataset:
 def make_moco_train_step(model, temperature: float = 1.0, mesh=None,
                          state_shardings=None):
     def step(state: MoCoState, x1, x2, m):
+        # EMA update of the momentum encoder with the CURRENT (pre-step) base
+        # params, BEFORE the key forward — the reference order (builder.py:
+        # 90-96: _update_momentum_encoder(m) runs inside forward(), ahead of
+        # the key passes and of optimizer.step()). Keys at iteration i are
+        # therefore computed from m(i)*M_i + (1-m(i))*theta_i; updating after
+        # the optimizer step instead would apply the cosine m-schedule one
+        # iteration late (pinned by tests/test_moco_trajectory.py).
+        new_mom = ema_update(state.momentum_params, state.params, m)
+
         def loss_fn(params):
             loss, new_bs = moco_loss(
                 model,
                 {"params": params, "batch_stats": state.batch_stats},
-                {"params": state.momentum_params,
+                {"params": new_mom,
                  "batch_stats": state.momentum_batch_stats},
                 x1, x2, temperature=temperature, train=True,
             )
@@ -91,12 +100,9 @@ def make_moco_train_step(model, temperature: float = 1.0, mesh=None,
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        # EMA update of the momentum encoder (builder.py:57-61, before key calc
-        # in the reference forward — same value since it's pre-update params...
-        # the reference updates EMA with the CURRENT base params before the key
-        # pass; we use the pre-step params for the loss (keys computed before
-        # update there too) and EMA with the new params for the next step.
-        new_mom = ema_update(state.momentum_params, new_params, m)
+        # torch never EMAs BN buffers (_update_momentum_encoder iterates
+        # parameters only) and key passes run on batch stats, so these buffers
+        # never influence training; EMA is this framework's choice of proxy
         new_mom_bs = ema_update(state.momentum_batch_stats, new_bs, m)
         return (
             MoCoState(step=state.step + 1, params=new_params, batch_stats=new_bs,
@@ -133,7 +139,10 @@ def build_moco_model(
 ):
     """MoCo model for either trunk (reference builder.py:101-124)."""
     if arch == "resnet":
-        return MoCoResNet3D(depth=resnet_depth, dim=moco_dim, mlp_dim=moco_mlp_dim)
+        from vit_ae_plus_plus_tpu.models.vit import _dt
+
+        return MoCoResNet3D(depth=resnet_depth, dim=moco_dim,
+                            mlp_dim=moco_mlp_dim, dtype=_dt(compute_dtype))
     vit_cfg = ViTConfig(
         volume_size=data_cfg.volume_size, in_chans=data_cfg.in_channels,
         num_classes=0, global_pool=False, dtype=compute_dtype,

@@ -33,7 +33,11 @@ def warmup_cosine_schedule(
     """
 
     def schedule(count):
-        epoch = count / steps_per_epoch
+        # optax's step counter is int32, and int32 / python-int promotes to
+        # FLOAT32 even under jax_enable_x64 — which silently rounded the lr
+        # to f32 (a uniform ~1.5e-8 relative shift on every update, caught by
+        # tests/test_moco_trajectory.py). Cast to the default float first.
+        epoch = jnp.asarray(count, jnp.result_type(float)) / steps_per_epoch
         warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
         denom = max(total_epochs - warmup_epochs, 1e-8)
         cos = min_lr + (base_lr - min_lr) * 0.5 * (
@@ -159,14 +163,23 @@ def make_lars(
     trust_coefficient: float = 0.001,
 ) -> optax.GradientTransformation:
     """LARS: layer-wise trust-ratio SGD, skipping <=1-D params, matching the
-    MoCo-v3 optimiser (moco/optimizer.py:10-43)."""
-    return optax.lars(
-        learning_rate,
-        weight_decay=weight_decay,
-        weight_decay_mask=weight_decay_mask,
-        trust_coefficient=trust_coefficient,
-        trust_ratio_mask=weight_decay_mask,
-        momentum=momentum,
+    MoCo-v3 optimiser (moco/optimizer.py:10-43).
+
+    NOT optax.lars: optax chains scale_by_learning_rate BEFORE trace, so its
+    momentum buffer accumulates lr-scaled steps (mu += lr_i * dp_i). The
+    reference accumulates RAW updates and applies the current lr to the whole
+    buffer (mu = momentum*mu + dp; p -= lr_i * mu) — identical under a
+    constant lr, different under MoCo's per-iteration cosine schedule (each
+    iteration rescales the accumulated history). Pinned by
+    tests/test_moco_trajectory.py, which caught the optax ordering."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay, mask=weight_decay_mask),
+        optax.masked(
+            optax.scale_by_trust_ratio(trust_coefficient=trust_coefficient),
+            weight_decay_mask,
+        ),
+        optax.trace(decay=momentum),
+        optax.scale_by_learning_rate(learning_rate),
     )
 
 
