@@ -394,6 +394,75 @@ class RefLARS(torch.optim.Optimizer):
                 p.add_(buf, alpha=-group["lr"])
 
 
+# ---------------------------------------------------------------------------
+# 3D-ResNet oracle pieces (tests/test_resnet_trajectory.py). Written from the
+# reference architecture and loop:
+#   trunk            k_fold_training_scripts/resnet_3d.py:30-59 (BasicBlock),
+#                    100-214 (conv1 (7,7,7)/(1,2,2) pad 3, maxpool 3/2/1,
+#                    4 stages, shortcut 'B' = 1x1x1 conv + BN, avgpool, fc)
+#   training loop    k_fold_training_scripts/train_3d_resnet.py:29-74 (per-
+#                    iteration adjust_learning_rate), 262-267 (Adam lr=1e-4,
+#                    CrossEntropyLoss(weight=[3, 1]))
+# Weights come from the flax param tree (same layout rules as the rest of the
+# oracle); BN running buffers live in a side dict and are updated in place by
+# F.batch_norm (torch semantics: unbiased batch var into the running buffer).
+# ---------------------------------------------------------------------------
+
+
+def _conv_kernel(k):
+    """flax Conv kernel (kD, kH, kW, in, out) -> torch Conv3d weight."""
+    return t(k).permute(4, 3, 0, 1, 2)
+
+
+def _bn3d(x, p, bufs, name, train):
+    c = x.shape[1]
+    buf = bufs.setdefault(name, {"mean": torch.zeros(c), "var": torch.ones(c)})
+    # reduction count per channel, for the biased/unbiased running-var
+    # correction applied by the test
+    buf["n"] = x.numel() // c
+    weight = t(p["scale"]) if p is not None else None
+    bias = t(p["bias"]) if p is not None else None
+    return F.batch_norm(x, buf["mean"], buf["var"], weight, bias,
+                        training=train, momentum=0.1, eps=1e-5)
+
+
+def _resnet_basic_block(x, p, bufs, prefix, stride, train):
+    """resnet_3d.py:30-59 with shortcut type 'B' (conv1x1x1 + BN downsample,
+    resnet_3d.py:180-183) from the flax naming (Conv_2/BatchNorm_2 exist only
+    when the block downsamples)."""
+    out = F.conv3d(x, _conv_kernel(p["Conv_0"]["kernel"]), stride=stride, padding=1)
+    out = _bn3d(out, p["BatchNorm_0"], bufs, f"{prefix}/BatchNorm_0", train)
+    out = F.relu(out)
+    out = F.conv3d(out, _conv_kernel(p["Conv_1"]["kernel"]), padding=1)
+    out = _bn3d(out, p["BatchNorm_1"], bufs, f"{prefix}/BatchNorm_1", train)
+    if "Conv_2" in p:
+        residual = F.conv3d(x, _conv_kernel(p["Conv_2"]["kernel"]), stride=stride)
+        residual = _bn3d(residual, p["BatchNorm_2"], bufs,
+                         f"{prefix}/BatchNorm_2", train)
+    else:
+        residual = x
+    return F.relu(out + residual)
+
+
+def resnet3d_forward(x, p, bufs, layers=(1, 1, 1, 1), train=True):
+    """ResNet-3D forward (BasicBlock depths: 10/18/34), NCDHW in, logits out
+    (resnet_3d.py:198-214)."""
+    x = F.conv3d(x, _conv_kernel(p["Conv_0"]["kernel"]), stride=(1, 2, 2),
+                 padding=(3, 3, 3))
+    x = _bn3d(x, p["BatchNorm_0"], bufs, "BatchNorm_0", train)
+    x = F.relu(x)
+    x = F.max_pool3d(x, kernel_size=3, stride=2, padding=1)
+    i = 0
+    for stage, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            x = _resnet_basic_block(x, p[f"BasicBlock3D_{i}"], bufs,
+                                    f"BasicBlock3D_{i}", stride, train)
+            i += 1
+    x = x.mean(dim=(2, 3, 4))  # AdaptiveAvgPool3d((1,1,1)) + flatten
+    return linear(x, p["Dense_0"]["kernel"], p["Dense_0"]["bias"])
+
+
 def soft_ce_with_weights(logits, soft_targets, weights):
     """reference utils/custom_loss.py::SoftCrossEntropyWithWeightsLoss:
     sum over the BATCH dim of -y * (log_softmax(logits) * w), normalised by

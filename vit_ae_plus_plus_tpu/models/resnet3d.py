@@ -20,6 +20,12 @@ import flax.linen as nn
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def _bn_dt(dtype):
+    """BatchNorm statistics at least at f32 under low-precision compute; full
+    width under the f64 trajectory-oracle tests (same rule as MoCoMLP)."""
+    return jnp.promote_types(jnp.float32, dtype)
+
+
 class BasicBlock3D(nn.Module):
     planes: int
     stride: int = 1
@@ -31,16 +37,16 @@ class BasicBlock3D(nn.Module):
         residual = x
         y = nn.Conv(self.planes, (3, 3, 3), (self.stride,) * 3, padding=1, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1), (self.stride,) * 3, use_bias=False,
                                kernel_init=conv_init, dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=jnp.float32)(residual)
+                                    dtype=_bn_dt(self.dtype))(residual)
         return nn.relu(y + residual)
 
 
@@ -56,20 +62,20 @@ class Bottleneck3D(nn.Module):
         out_planes = self.planes * self.expansion
         y = nn.Conv(self.planes, (1, 1, 1), use_bias=False, kernel_init=conv_init,
                     dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), (self.stride,) * 3, padding=1, use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(y)
         y = nn.relu(y)
         y = nn.Conv(out_planes, (1, 1, 1), use_bias=False, kernel_init=conv_init,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(y)
         if self.stride != 1 or x.shape[-1] != out_planes:
             residual = nn.Conv(out_planes, (1, 1, 1), (self.stride,) * 3, use_bias=False,
                                kernel_init=conv_init, dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=jnp.float32)(residual)
+                                    dtype=_bn_dt(self.dtype))(residual)
         return nn.relu(y + residual)
 
 
@@ -102,7 +108,7 @@ class ResNet3D(nn.Module):
         x = nn.Conv(int(INPLANES[0] * self.widen_factor), (7, 7, 7), (1, 2, 2),
                     padding=((3, 3), (3, 3), (3, 3)), use_bias=False,
                     kernel_init=conv_init, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=_bn_dt(self.dtype))(x)
         x = nn.relu(x)
         if not self.no_max_pool:
             x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))

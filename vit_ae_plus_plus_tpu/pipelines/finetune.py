@@ -85,7 +85,9 @@ def timm_mixup(rng, inputs, int_labels, num_classes: int, alpha: float = 0.1,
 def weighted_ce(logits, labels, class_weights):
     """torch CrossEntropyLoss(weight=w) semantics: per-sample weighted NLL,
     normalised by the sum of sample weights."""
-    logits = logits.astype(jnp.float32)
+    # at-least-f32 (not a hard f32 cast): bf16 logits widen, f64 logits stay
+    # f64 so the trajectory-oracle tests keep their precision
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
     w = class_weights[labels]

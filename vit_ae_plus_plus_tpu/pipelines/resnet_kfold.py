@@ -1,8 +1,12 @@
 """Supervised 3D-ResNet k-fold baseline.
 
 Parity: reference /root/reference/k_fold_training_scripts/train_3d_resnet.py
-:216-330 — 3-fold stratified training of ResNet-10 3D, Adam lr=1e-4, class
-weights [3, 1] for BraTS, best model by test ROC per fold, eval-only mode.
+:216-330 — 3-fold stratified training of ResNet-10 3D, Adam lr=1e-4 under the
+per-ITERATION warmup-cosine schedule (train_3d_resnet.py:47-48 calls
+lr_sched.adjust_learning_rate at fractional epochs with the argparse defaults
+min_lr=1e-6, warmup_epochs=5), class weights [3, 1] for BraTS, best model by
+test ROC per fold, eval-only mode. The whole composition is pinned against a
+torch replica of that loop in tests/test_resnet_trajectory.py.
 """
 
 from __future__ import annotations
@@ -24,6 +28,17 @@ from vit_ae_plus_plus_tpu.pipelines.finetune import evaluate, weighted_ce
 from vit_ae_plus_plus_tpu.train import TrainState
 from vit_ae_plus_plus_tpu.train.checkpoint import save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
+from vit_ae_plus_plus_tpu.train.optim import warmup_cosine_schedule
+
+
+def make_resnet_tx(lr: float, epochs: int, steps_per_epoch: int,
+                   min_lr: float = 1e-6, warmup_epochs: int = 5):
+    """Adam (torch defaults: betas 0.9/0.999, eps 1e-8, no weight decay) under
+    the reference's per-iteration warmup-cosine lr (train_3d_resnet.py:262,
+    47-48 + utils/lr_sched.py:9-21 with the argparse defaults)."""
+    return optax.adam(
+        warmup_cosine_schedule(lr, min_lr, warmup_epochs, epochs, steps_per_epoch)
+    )
 
 
 def make_resnet_steps(model, class_weights: np.ndarray):
@@ -80,7 +95,11 @@ def resnet_kfold(
         s = data_cfg.volume_size
         sample = jnp.zeros((train_cfg.batch_size, data_cfg.in_channels, s, s, s))
         variables = model.init({"params": jax.random.PRNGKey(train_cfg.seed)}, sample)
-        tx = optax.adam(lr)
+        loader = Loader(dataset_aug, train_cfg.batch_size, indices=train_ids,
+                        shuffle=True, drop_last=False, seed=train_cfg.seed)
+        # per-iteration schedule at fractional epoch = step / len(loader),
+        # exactly the reference's data_iter_step / len(data_loader) + epoch
+        tx = make_resnet_tx(lr, epochs, max(len(loader), 1))
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=variables["params"],
             batch_stats=variables["batch_stats"], opt_state=tx.init(variables["params"]),
@@ -88,8 +107,6 @@ def resnet_kfold(
         )
         train_step, eval_step = make_resnet_steps(model, np.asarray(class_weights))
 
-        loader = Loader(dataset_aug, train_cfg.batch_size, indices=train_ids,
-                        shuffle=True, drop_last=False, seed=train_cfg.seed)
         test_loader = Loader(dataset_no_aug, train_cfg.batch_size, indices=test_ids,
                              shuffle=False, drop_last=False)
         rng = jax.random.PRNGKey(train_cfg.seed)
