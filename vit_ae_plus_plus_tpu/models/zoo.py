@@ -50,6 +50,9 @@ def contr_mae_vit_base_patch16_fastdec(**kw) -> MAEConfig:
     with the head COUNT, not head_dim: measured 8L decoder fwd+bwd at B16 is
     101 ms (H8/d64) vs 153 ms (H16/d32) — a free ~1.5x on the step's
     dominant component if exact reference-architecture parity is not needed.
+    Downstream quality (measured, BASELINE.md "Fast presets downstream"):
+    SVM AUROC 0.639±0.063 vs parity 0.670±0.038 at a 60-epoch/2-fold budget —
+    delta inside fold noise, i.e. no detectable regression, not equivalence.
     """
     return MAEConfig(
         embed_dim=768, depth=12, num_heads=12,
@@ -70,7 +73,9 @@ def contr_mae_vit_base_patch16_fast(**kw) -> MAEConfig:
     Attention math DIFFERS from the reference's 12/16-head split (different
     subspace partition), which is why this is opt-in like `_fastdec`.
     Measured (TPU v5e, B16 bf16 flagship step): **93.1 vol/s/chip** vs 76.0
-    for `_fastdec` and 62.3 for the parity architecture.
+    for `_fastdec` and 62.3 for the parity architecture. Downstream quality
+    (BASELINE.md "Fast presets downstream"): SVM AUROC 0.649±0.045 vs parity
+    0.670±0.038 at a 60-epoch/2-fold budget — delta inside fold noise.
     """
     return MAEConfig(
         embed_dim=768, depth=12, num_heads=6,
