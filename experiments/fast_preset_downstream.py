@@ -82,7 +82,10 @@ def features_complete(work):
     return all(os.path.exists(os.path.join(d, n)) for n in need)
 
 
-def main(out_dir):
+def main(out_dir, train_seed=42):
+    """train_seed varies init/shuffle/mask RNG only; the dataset and fold
+    split stay fixed (seed 0 / prepare-data), so multi-seed passes are a
+    PAIRED comparison across identical folds."""
     from vit_ae_plus_plus_tpu.cli import main as cli_main
     from vit_ae_plus_plus_tpu.pipelines.eval_classical import evaluate_features
 
@@ -106,8 +109,8 @@ def main(out_dir):
                 "pretrain-kfold", "--data-path", splits, "--work-dir", work,
                 "--model", model, "--volume-size", str(S), "--patch-size", "8",
                 "--epochs", "60", "--n-splits", str(N_SPLITS), "--batch-size", "8",
-                "--compute-dtype", "bfloat16", "--device-data", "--seed", "42",
-                "--resume",
+                "--compute-dtype", "bfloat16", "--device-data",
+                "--seed", str(train_seed), "--resume",
             ])
             assert rc in (0, None), model
         summary = evaluate_features(os.path.join(work, "ssl_features_dir"),
@@ -126,4 +129,5 @@ def main(out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fast_preset_expt")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fast_preset_expt",
+         train_seed=int(sys.argv[2]) if len(sys.argv) > 2 else 42)

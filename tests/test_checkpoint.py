@@ -132,3 +132,33 @@ def test_resolve_checkpoint_path_url_and_local(tmp_path):
     got2 = resolve_checkpoint_path("file://" + str(src2), cache_dir=str(cache))
     assert got2 != got and open(got2, "rb").read() == b"other-model"
     assert resolve_checkpoint_path("/some/local/path") == "/some/local/path"
+
+
+def test_legacy_lars_checkpoint_raises_actionable_error(tmp_path):
+    """A MoCo checkpoint written under the old optax.lars chain order
+    (lr before trace — momentum buffer holds lr-scaled steps) must fail
+    restore with a message that names the problem and the two sound
+    remediations, not orbax's generic metadata-tree mismatch. The buffer is
+    semantically unconvertible, so silent remapping would be a bug."""
+    import optax
+
+    from vit_ae_plus_plus_tpu.train import create_train_state
+    from vit_ae_plus_plus_tpu.train.optim import make_lars
+
+    model = MaskedAutoencoderViT3D(TINY)
+    v = jnp.zeros((1, 1, 16, 16, 16))
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    state = create_train_state(model, (v,), make_lars(1e-3), rngs)
+
+    # write a payload whose opt_state uses the PRE-reorder stock-optax layout
+    legacy_tx = optax.lars(
+        1e-3, weight_decay=1e-6, momentum=0.9, trust_coefficient=0.001
+    )
+    legacy_state = state.replace(opt_state=legacy_tx.init(state.params))
+    mgr = CheckpointManager(str(tmp_path / "legacy"))
+    mgr.save(0, legacy_state, epoch=4, min_loss=0.5)
+    mgr.wait()
+
+    # `state` carries the CURRENT make_lars layout as the restore template
+    with pytest.raises(ValueError, match="pre-fix LARS layout"):
+        mgr.restore(state)

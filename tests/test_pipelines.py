@@ -531,3 +531,45 @@ def test_pretrain_kfold_cross_fold_resume_skips_completed(synthetic_brats, tmp_p
     second = pretrain_kfold(data_cfg, train_cfg, work,
                             model_name="contr_mae_vit_tiny_patch4", n_splits=2)
     assert all(r.get("skipped") for r in second.values())
+
+
+def test_pretrain_kfold_is_run_to_run_deterministic(synthetic_brats, tmp_path):
+    """Two fresh runs with identical configs/seed must agree bit-for-bit:
+    per-epoch losses (log.txt), per-fold min_loss, and the extracted
+    per-fold SSL feature files. The reference seeds torch/numpy for the same
+    purpose (k_fold_cross_valid_combined_brats.py seed block); here this
+    pins the whole composed pipeline — fold split, shuffle schedule, augment
+    RNG, init, jitted step, min-loss checkpoint selection, extraction — so
+    any silently nondeterministic ingredient (unordered dict walk,
+    unseeded draw, host-time dependence) fails loudly."""
+    import json as _json
+
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    train_cfg = TrainConfig(epochs=2, batch_size=4, patch_size=4, warmup_epochs=1,
+                            compute_dtype="float32", contr_weight=0.001)
+
+    outs = []
+    for run in ("a", "b"):
+        work = str(tmp_path / f"work_{run}")
+        results = pretrain_kfold(data_cfg, train_cfg, work,
+                                 model_name="contr_mae_vit_tiny_patch4",
+                                 n_splits=2)
+        log = [_json.loads(x)
+               for x in open(os.path.join(work, "checkpoints", "log.txt"))]
+        feats = {
+            (tag, fold): np.load(os.path.join(
+                work, "ssl_features_dir",
+                f"{tag}_contrast_ssl_features_split_{fold}.npy"))
+            for tag in ("train", "test") for fold in (0, 1)
+        }
+        outs.append((results, log, feats))
+
+    (res_a, log_a, feats_a), (res_b, log_b, feats_b) = outs
+    assert [r["min_loss"] for r in res_a.values()] == \
+           [r["min_loss"] for r in res_b.values()]
+    assert [l["train_loss"] for l in log_a] == [l["train_loss"] for l in log_b]
+    for key in feats_a:
+        np.testing.assert_array_equal(feats_a[key], feats_b[key])

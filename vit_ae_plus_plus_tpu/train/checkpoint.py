@@ -20,6 +20,34 @@ import orbax.checkpoint as ocp
 from vit_ae_plus_plus_tpu.parallel.mesh import is_main_process
 
 
+def _reraise_if_legacy_lars(e: ValueError) -> None:
+    """Diagnose the pre-reorder LARS checkpoint layout with a clear error.
+
+    make_lars (train/optim.py) was rebuilt as an explicit chain with
+    optax.trace AFTER scale_by_trust_ratio and BEFORE the learning rate —
+    the reference's accumulate-raw-updates semantics (the stock optax.lars
+    order applies lr before trace, which diverges under MoCo's per-iteration
+    cosine schedule; pinned by tests/test_moco_trajectory.py). Checkpoints
+    written under the old layout store the momentum buffer at opt_state[3]
+    where the new template expects it at opt_state[2]; orbax reports that
+    as a generic metadata-tree mismatch. The old buffer holds lr-SCALED
+    momentum, so remapping it would restore semantically wrong state —
+    the only sound options are the two the message gives."""
+    msg = str(e)
+    if ("tree structures do not match" in msg
+            and "opt_state[2]" in msg and "opt_state[3]" in msg):
+        raise ValueError(
+            "This checkpoint's optimizer state uses the pre-fix LARS layout "
+            "(momentum trace at opt_state[3], lr-scaled — written before the "
+            "make_lars reorder that matched the reference's "
+            "accumulate-raw-updates semantics). Its momentum buffer is not "
+            "convertible to the corrected optimizer. Either restart this "
+            "fold's training from epoch 0, or load only the model weights "
+            "from it (load_params / the min-loss params file) and discard "
+            "the optimizer state."
+        ) from e
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: Optional[int] = None):
         self.directory = os.path.abspath(directory)
@@ -58,7 +86,13 @@ class CheckpointManager:
             "epoch": np.asarray(0),
             "min_loss": np.asarray(0.0, np.float64),
         }
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except ValueError as e:
+            _reraise_if_legacy_lars(e)
+            raise
         state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
