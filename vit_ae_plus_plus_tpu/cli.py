@@ -572,7 +572,6 @@ def main(argv=None):
         from vit_ae_plus_plus_tpu.pipelines.sanity_viz import (
             nonzero_fractions, reconstruct, save_slice_pngs,
         )
-        import numpy as np
         import jax
         from vit_ae_plus_plus_tpu.data import get_dataset
         from vit_ae_plus_plus_tpu.models import MODEL_ZOO, build_model

@@ -8,7 +8,6 @@ the reference's factory signature for drop-in familiarity.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
 import flax.linen as nn

@@ -32,7 +32,7 @@ Usage (see pipelines/pretrain_kfold.py):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import numpy as np
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import numpy as np

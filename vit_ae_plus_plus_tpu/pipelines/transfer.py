@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import numpy as np
 import jax.numpy as jnp
 
 from vit_ae_plus_plus_tpu.configs import MAEConfig, ViTConfig

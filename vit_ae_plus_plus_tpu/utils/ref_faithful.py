@@ -46,7 +46,6 @@ per-step cost (its DataLoader + torchio augmentation is charged at zero).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import socket
 import struct
 import time
 import zlib
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
