@@ -111,6 +111,10 @@ def main(out_dir, train_seed=42):
                 "--epochs", "60", "--n-splits", str(N_SPLITS), "--batch-size", "8",
                 "--compute-dtype", "bfloat16", "--device-data",
                 "--seed", str(train_seed), "--resume",
+                # the dev box reaches its TPU through a slow tunnel: flushing
+                # checkpoints every epoch D2Hs ~0.5 GB/epoch and dominates the
+                # run; cadence-20 keeps the best params device-resident
+                "--ckpt-every", "20",
             ])
             assert rc in (0, None), model
         summary = evaluate_features(os.path.join(work, "ssl_features_dir"),

@@ -573,3 +573,59 @@ def test_pretrain_kfold_is_run_to_run_deterministic(synthetic_brats, tmp_path):
     assert [l["train_loss"] for l in log_a] == [l["train_loss"] for l in log_b]
     for key in feats_a:
         np.testing.assert_array_equal(feats_a[key], feats_b[key])
+
+
+def test_ckpt_every_cadence_matches_every_epoch(synthetic_brats, tmp_path):
+    """--ckpt-every N must change WHEN state crosses the host link, never
+    WHAT trains or which params win: the min-loss checkpoint, results and
+    features of a cadence-3 run equal the every-epoch run bit-for-bit
+    (the interim best is a device-side copy, flushed on cadence/at fold
+    end — pretrain_kfold.py)."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    outs = {}
+    for every in (1, 3):
+        train_cfg = TrainConfig(epochs=4, batch_size=4, patch_size=4,
+                                warmup_epochs=1, compute_dtype="float32",
+                                contr_weight=0.001, ckpt_every=every)
+        work = str(tmp_path / f"work_e{every}")
+        results = pretrain_kfold(data_cfg, train_cfg, work,
+                                 model_name="contr_mae_vit_tiny_patch4",
+                                 n_splits=2)
+        feats = np.load(os.path.join(work, "ssl_features_dir",
+                                     "train_contrast_ssl_features_split_0.npy"))
+        outs[every] = (results, feats)
+    assert [r["min_loss"] for r in outs[1][0].values()] == \
+           [r["min_loss"] for r in outs[3][0].values()]
+    np.testing.assert_array_equal(outs[1][1], outs[3][1])
+
+
+def test_ckpt_every_resume_from_cadence_checkpoint(synthetic_brats, tmp_path):
+    """A cadence run interrupted between flushes resumes from the last
+    cadence checkpoint (not the crash epoch) and still finishes."""
+    from vit_ae_plus_plus_tpu.pipelines.pretrain_kfold import pretrain_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    work = str(tmp_path / "work")
+    # phase 1: run 3 epochs at cadence 2 -> resume ckpt at epochs 1 and 2(final)
+    cfg = TrainConfig(epochs=3, batch_size=4, patch_size=4, warmup_epochs=1,
+                      compute_dtype="float32", contr_weight=0.001,
+                      ckpt_every=2, resume=True)
+    pretrain_kfold(data_cfg, cfg, work, model_name="contr_mae_vit_tiny_patch4",
+                   n_splits=2)
+    # phase 2: extend to 6 epochs; must resume at epoch 3 (ckpt from final
+    # epoch 2), train [3,6) and write a final min-loss checkpoint
+    import shutil
+    shutil.rmtree(os.path.join(work, "ssl_features_dir"))  # force retrain
+    cfg2 = TrainConfig(epochs=6, batch_size=4, patch_size=4, warmup_epochs=1,
+                       compute_dtype="float32", contr_weight=0.001,
+                       ckpt_every=2, resume=True)
+    res = pretrain_kfold(data_cfg, cfg2, work,
+                         model_name="contr_mae_vit_tiny_patch4",
+                         n_splits=2)
+    assert np.isfinite(res[0]["min_loss"])
+    assert os.path.isdir(os.path.join(work, "checkpoints", "fold_0",
+                                      "checkpoint-min_loss"))

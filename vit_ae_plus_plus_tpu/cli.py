@@ -78,6 +78,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "per-step H2D; implies --device-augment semantics)")
     p.add_argument("--resume", action="store_true",
                    help="resume folds from their periodic checkpoints")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="flush min-loss + resume checkpoints every N epochs "
+                        "(interim best kept device-resident; for slow-storage "
+                        "setups where per-epoch D2H dominates)")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (one steady epoch)")
     p.add_argument("--perceptual-weight", type=float, default=0.0)
@@ -117,6 +121,7 @@ def _configs(args) -> tuple:
             or getattr(args, "device_data", False),
             device_data=getattr(args, "device_data", False),
             resume=getattr(args, "resume", False),
+            ckpt_every=getattr(args, "ckpt_every", 1),
             profile_dir=getattr(args, "profile_dir", None),
             vgg_ckpt=getattr(args, "vgg_ckpt", None),
             loss_filters_dtype=getattr(args, "loss_filters_dtype", "float32"),
@@ -138,6 +143,7 @@ def _configs(args) -> tuple:
         or getattr(args, "device_data", False),
         device_data=getattr(args, "device_data", False),
         resume=getattr(args, "resume", False),
+        ckpt_every=getattr(args, "ckpt_every", 1),
         profile_dir=getattr(args, "profile_dir", None),
         perceptual_weight=getattr(args, "perceptual_weight", 0.0),
         vgg_ckpt=getattr(args, "vgg_ckpt", None),

@@ -169,6 +169,13 @@ class TrainConfig:
     start_epoch: int = 0
     resume: bool = False  # restore params+optimiser+epoch from the fold's
     # periodic checkpoint (reference --resume, misc.py:315-329)
+    ckpt_every: int = 1  # write the resume checkpoint AND flush the min-loss
+    # params to disk every N epochs (parity default 1 = every epoch like the
+    # reference, misc.py:295-329). At N>1 the best params are kept as a
+    # device-side copy (an HBM->HBM tree copy on each improving epoch, ~1 ms
+    # for ViT-B) and only cross the host link on cadence/at fold end — for
+    # slow-storage or remote-device setups where per-epoch D2H dominates the
+    # epoch. Crash window: up to N-1 epochs of progress.
     nan_check_every: int = 50  # pull the loss scalar to host every k steps and
     # abort on non-finite (reference aborts per step, train_one_epoch.py:66-68;
     # per-k keeps the no-per-step-sync pipeline while bounding wasted work to

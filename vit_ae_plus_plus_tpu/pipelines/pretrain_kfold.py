@@ -239,6 +239,11 @@ def pretrain_one_fold(
     jsonl = JsonlLogger(os.path.join(work_dir, "checkpoints"))
     rng = jax.random.PRNGKey(train_cfg.seed + 100 + fold_idx)
     min_loss, best_params = float("inf"), None
+    # --ckpt-every N: disk writes (min-loss flush + resume checkpoint) happen
+    # on an N-epoch cadence instead of every epoch; the interim best lives as
+    # a device-side copy (config.py::TrainConfig.ckpt_every)
+    ck_every = max(1, getattr(train_cfg, "ckpt_every", 1))
+    best_dev, best_dirty = None, False
     t_start = time.time()
 
     # full-state resume (reference --resume, utils/misc.py:315-329): restores
@@ -354,12 +359,25 @@ def pretrain_one_fold(
             raise FloatingPointError(f"Loss is {stats['loss']}, stopping training")
         if stats["loss"] < min_loss:
             min_loss = stats["loss"]
-            best_params = _host_params(state.params)
-            save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"), best_params)
+            if ck_every == 1:
+                best_params = _host_params(state.params)
+                save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"),
+                            best_params)
+            else:
+                # device-side copy (HBM->HBM): holding state.params itself is
+                # unsafe — the jitted step donates its state buffers
+                best_dev = jax.tree.map(jnp.copy, state.params)
+                best_dirty = True
         jsonl.write({**{f"train_{k}": v for k, v in stats.items()}, "epoch": epoch,
                      "fold": fold_idx})
-        if resume_mgr is not None:
-            resume_mgr.save(epoch, state, epoch=epoch, min_loss=min_loss)
+        if epoch % ck_every == ck_every - 1 or epoch == train_cfg.epochs - 1:
+            if best_dirty:
+                best_params = _host_params(best_dev)
+                save_params(os.path.join(ckpt_dir, "checkpoint-min_loss"),
+                            best_params)
+                best_dirty = False
+            if resume_mgr is not None:
+                resume_mgr.save(epoch, state, epoch=epoch, min_loss=min_loss)
 
     if best_params is None:
         # resumed at (or past) the final epoch: reload the saved min-loss
