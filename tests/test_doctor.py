@@ -27,6 +27,37 @@ def test_doctor_cli():
     assert cli_main(["doctor"]) == 0
 
 
+def test_doctor_flags_cross_machine_cache_entries(tmp_path):
+    """XLA:CPU AOT cache entries compiled on another machine are a documented
+    SIGILL hazard (cpu_aot_loader). The cache dir is keyed by machine
+    fingerprint (utils/cache.py); entries in the UN-keyed legacy root must
+    surface as a WARN naming the remediation (VERDICT r4 #4)."""
+    from vit_ae_plus_plus_tpu.utils.cache import (
+        default_cache_dir, machine_fingerprint,
+    )
+    from vit_ae_plus_plus_tpu.utils.doctor import _check_cache_machine_key
+
+    fp = machine_fingerprint()
+    assert len(fp) == 12 and fp == machine_fingerprint()  # stable
+    assert default_cache_dir().endswith(fp)
+
+    # empty / keyed-only root: ok
+    status, detail = _check_cache_machine_key(str(tmp_path))
+    assert status == "ok" and fp in detail
+    (tmp_path / fp).mkdir()
+    (tmp_path / fp / "entry").write_bytes(b"x")  # keyed entry is fine
+    (tmp_path / ".probe").write_bytes(b"x")  # dotfiles ignored
+    status, _ = _check_cache_machine_key(str(tmp_path))
+    assert status == "ok"
+
+    # a stray entry directly in the un-keyed root: warn + remediation
+    (tmp_path / "xla_compile_abc123").write_bytes(b"\x7fELF")
+    status, detail = _check_cache_machine_key(str(tmp_path))
+    assert status == "warn"
+    assert "xla_compile_abc123" in detail and "SIGILL" in detail
+    assert fp in detail  # the remediation names the keyed dir
+
+
 def test_doctor_flags_stale_vitae_fingerprint(tmp_path, monkeypatch):
     """A .vitae built on another platform/jax (or in the retired format)
     must surface as a WARN naming the artifact (VERDICT r3 #7)."""

@@ -69,6 +69,29 @@ def _check_compilation_cache() -> Tuple[str, str]:
         return _FAIL, f"compilation cache: {e}"
 
 
+def _check_cache_machine_key(root: str | None = None) -> Tuple[str, str]:
+    """Cross-machine compilation-cache hazard: XLA:CPU AOT entries are
+    specialised to the compiling host's CPU features; loading one compiled
+    elsewhere triggers cpu_aot_loader errors that XLA documents as a SIGILL
+    risk. This framework keys its cache dir by machine fingerprint
+    (utils/cache.py); entries sitting in the legacy UN-keyed root predate
+    that layout and may be from another machine."""
+    from vit_ae_plus_plus_tpu.utils.cache import (
+        default_cache_dir, legacy_unkeyed_entries, machine_fingerprint,
+    )
+
+    stray = legacy_unkeyed_entries(root)
+    if stray:
+        shown = ", ".join(stray[:3]) + ("…" if len(stray) > 3 else "")
+        return _WARN, (
+            f"{len(stray)} cache entrie(s) in the un-keyed root may have been "
+            f"compiled on another machine (SIGILL risk: {shown}) — delete "
+            f"them or move them into the machine-keyed dir "
+            f"{default_cache_dir()} if they are known-local"
+        )
+    return _OK, f"cache keyed by machine fingerprint {machine_fingerprint()}"
+
+
 def _check_native_augment() -> Tuple[str, str]:
     try:
         from vit_ae_plus_plus_tpu.data import native_augment
@@ -164,6 +187,7 @@ CHECKS: List[Tuple[str, Callable[[], Tuple[str, str]]]] = [
     ("jax backend", _check_jax),
     ("device compute", _check_device_compute),
     ("compilation cache", _check_compilation_cache),
+    ("cache machine key", _check_cache_machine_key),
     ("native augmenter", _check_native_augment),
     ("virtual-mesh flags", _check_virtual_mesh_flags),
     ("library versions", _check_versions),
