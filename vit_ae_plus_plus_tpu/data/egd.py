@@ -41,6 +41,27 @@ def split_filename(mode: str, split: str = "idh") -> str:
     raise ValueError(f"invalid split {split!r}")
 
 
+def load_split_list(pkl_path: str):
+    """Load a split list, preferring the JSON sidecar over the legacy pickle.
+
+    This framework's bootstrap (data/splits.py) writes `.json` sidecars —
+    pickle is an arbitrary-code-execution format and nothing here needs it
+    (same artifact policy as the de-pickled `.vitae`, serving_aot.py:40-49).
+    The `.pkl` path is still honoured so split directories produced by the
+    reference's own bootstrap (egd_split.py:69-76) load unchanged. Labelled
+    entries arrive as (scan, label) tuples from pickle and [scan, label]
+    lists from JSON; consumers index item[0]/item[1], which both satisfy.
+    """
+    import json
+
+    json_path = os.path.splitext(pkl_path)[0] + ".json"
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            return json.load(f)
+    with open(pkl_path, "rb") as f:
+        return pickle.load(f)
+
+
 def normalize_per_channel(volume: np.ndarray, use_z_score: bool) -> np.ndarray:
     """Per-channel z-score over spatial dims, or whole-volume min-max
     (reference egd.py:44-50)."""
@@ -69,8 +90,9 @@ class EGDDataset:
         if mode not in ("ssl", "test", "whole", "whole_train"):
             raise ValueError(f"invalid mode {mode!r}")
         self.base_path = base_path
-        with open(os.path.join(split_dir, split_filename(mode, split)), "rb") as f:
-            self.indices = pickle.load(f)
+        self.indices = load_split_list(
+            os.path.join(split_dir, split_filename(mode, split))
+        )
         self.has_labels = mode == "test"
         self.raw = raw  # skip normalisation+augmentation: device-side augment path
         self.transform = transform

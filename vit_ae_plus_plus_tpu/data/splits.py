@@ -251,27 +251,43 @@ def prepare_egd_splits(
     ssl_scans = valid(ssl_scans, has_labels=False)
     labelled = valid(labelled, has_labels=True)
 
-    with open(os.path.join(out_dir, f"{target_col}_ssl.pkl"), "wb") as f:
-        pickle.dump(ssl_scans, f)
-    with open(os.path.join(out_dir, f"{target_col}_annotated_mit_labels.pkl"), "wb") as f:
-        pickle.dump(labelled, f)
-    with open(os.path.join(out_dir, f"{target_col}_all.pkl"), "wb") as f:
-        pickle.dump(all_scans, f)
+    # JSON, not pickle: the reference writes these lists as pickles
+    # (egd_split.py:69-76), but pickle is an arbitrary-code-execution format
+    # and the data is plain strings/ints. The dataset reads the .json sidecar
+    # preferentially and still accepts reference-made .pkl (egd.py::
+    # load_split_list), so old split dirs keep working unchanged.
+    _write_split_json(os.path.join(out_dir, f"{target_col}_ssl.json"), ssl_scans)
+    _write_split_json(
+        os.path.join(out_dir, f"{target_col}_annotated_mit_labels.json"), labelled
+    )
+    _write_split_json(os.path.join(out_dir, f"{target_col}_all.json"), all_scans)
     return ssl_scans, labelled
+
+
+def _write_split_json(path: str, items) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump([list(i) if isinstance(i, tuple) else i for i in items], f)
 
 
 def refine_1p19q_scans(out_dir: str) -> None:
     """Remove 1p19q-labelled scans the IDH-SSL pool has seen
-    (egd_split.py:79-90)."""
-    with open(os.path.join(out_dir, "who_idh_mutation_status_ssl.pkl"), "rb") as f:
-        ssl_seen = set(pickle.load(f))
-    with open(os.path.join(out_dir, "who_1p19q_codeletion_annotated_mit_labels.pkl"), "rb") as f:
-        labelled = pickle.load(f)
+    (egd_split.py:79-90). Reads JSON sidecars or reference pickles;
+    writes the refined list as JSON."""
+    from vit_ae_plus_plus_tpu.data.egd import load_split_list
+
+    ssl_seen = set(
+        load_split_list(os.path.join(out_dir, "who_idh_mutation_status_ssl.pkl"))
+    )
+    labelled = load_split_list(
+        os.path.join(out_dir, "who_1p19q_codeletion_annotated_mit_labels.pkl")
+    )
     refined = [item for item in labelled if item[0] not in ssl_seen]
-    with open(
-        os.path.join(out_dir, "correct_who_1p19q_codeletion_annotated_mit_labels.pkl"), "wb"
-    ) as f:
-        pickle.dump(refined, f)
+    _write_split_json(
+        os.path.join(out_dir, "correct_who_1p19q_codeletion_annotated_mit_labels.json"),
+        refined,
+    )
 
 
 def kfold_indices(
@@ -285,17 +301,22 @@ def kfold_indices(
     kf = StratifiedKFold(n_splits=n_splits, random_state=None, shuffle=False)
     for idx, (train_ids, test_ids) in enumerate(kf.split(np.zeros_like(labels), labels)):
         if index_dir is not None:
+            # persisted as .npy (allow_pickle stays False); the extensionless
+            # names are the reference's own pickled fold indices
+            # (k_fold_…_brats.py:113-125) — read for resume compat, never
+            # written anew
             tr_path = os.path.join(index_dir, f"train_{idx}")
             te_path = os.path.join(index_dir, f"test_{idx}")
-            if os.path.exists(tr_path) and os.path.exists(te_path):
+            if os.path.exists(tr_path + ".npy") and os.path.exists(te_path + ".npy"):
+                train_ids = np.load(tr_path + ".npy")
+                test_ids = np.load(te_path + ".npy")
+            elif os.path.exists(tr_path) and os.path.exists(te_path):
                 with open(tr_path, "rb") as f:
                     train_ids = pickle.load(f)
                 with open(te_path, "rb") as f:
                     test_ids = pickle.load(f)
             else:
-                with open(tr_path, "wb") as f:
-                    pickle.dump(train_ids, f)
-                with open(te_path, "wb") as f:
-                    pickle.dump(test_ids, f)
+                np.save(tr_path + ".npy", np.asarray(train_ids))
+                np.save(te_path + ".npy", np.asarray(test_ids))
         folds.append((np.asarray(train_ids), np.asarray(test_ids)))
     return folds
