@@ -54,3 +54,27 @@ def test_ln_dtype_flows_from_mae_config_to_both_stacks():
     assert np.isfinite(np.asarray(out["pred"])).all()
     # encoder_vit_config carries the lever to the extraction/serving trunk
     assert cfg.encoder_vit_config().ln_dtype == "bfloat16"
+
+
+def test_forced_fusion_warns_when_ln_dtype_bf16():
+    """ln_fusion='on' forces the fused LN+Dense path whose stats are f32;
+    combining it with ln_dtype='bfloat16' must warn instead of silently
+    ignoring the dtype flag (ADVICE r4)."""
+    import warnings
+
+    cfg = _vit_cfg(ln_fusion="on", ln_dtype="bfloat16")
+    m = VisionTransformer3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16, 16))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m.init({"params": jax.random.PRNGKey(1)}, x)
+    assert any("ln_dtype" in str(w.message) and "fused" in str(w.message)
+               for w in caught)
+
+    # either flag alone stays silent
+    for kw in ({"ln_fusion": "on"}, {"ln_dtype": "bfloat16"}):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            VisionTransformer3D(_vit_cfg(**kw)).init(
+                {"params": jax.random.PRNGKey(1)}, x)
+        assert not [w for w in caught if "ln_dtype" in str(w.message)]

@@ -629,3 +629,33 @@ def test_ckpt_every_resume_from_cadence_checkpoint(synthetic_brats, tmp_path):
     assert np.isfinite(res[0]["min_loss"])
     assert os.path.isdir(os.path.join(work, "checkpoints", "fold_0",
                                       "checkpoint-min_loss"))
+
+
+def test_moco_ckpt_every_cadence_matches_every_epoch(synthetic_brats, tmp_path):
+    """--ckpt-every on moco-kfold (ADVICE r4): cadence changes WHEN state
+    crosses the host link, never the trained weights — min losses and the
+    extracted features of a cadence-2 run equal the every-epoch run
+    bit-for-bit, and the resume/min-loss checkpoints still exist."""
+    from vit_ae_plus_plus_tpu.pipelines.moco_kfold import moco_kfold
+
+    data_cfg = DataConfig(name="brats", base_path=synthetic_brats, volume_size=16,
+                          in_channels=1, use_z_score=True)
+    outs = {}
+    for every in (1, 2):
+        train_cfg = TrainConfig(epochs=3, batch_size=4,
+                                compute_dtype="float32", ckpt_every=every)
+        work = tmp_path / f"w_e{every}"
+        results = moco_kfold(
+            data_cfg, train_cfg, str(work), n_splits=2,
+            moco_dim=16, moco_mlp_dim=32, epochs=3, warmup_epochs=1,
+            vit_overrides=dict(patch_size=4, embed_dim=24, depth=1, num_heads=3),
+        )
+        feats = np.load(work / "ssl_features_dir"
+                        / "train_contrast_ssl_features_split_0.npy")
+        outs[every] = (results, feats)
+        assert os.path.isdir(work / "checkpoints" / "fold_0"
+                             / "checkpoint-min_loss")
+        assert os.path.isdir(work / "checkpoints" / "fold_0" / "resume-state")
+    assert [r["min_loss"] for r in outs[1][0].values()] == \
+           [r["min_loss"] for r in outs[2][0].values()]
+    np.testing.assert_array_equal(outs[1][1], outs[2][1])

@@ -81,7 +81,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="flush min-loss + resume checkpoints every N epochs "
                         "(interim best kept device-resident; for slow-storage "
-                        "setups where per-epoch D2H dominates)")
+                        "setups where per-epoch D2H dominates). Applies to "
+                        "the periodic-checkpoint loops (pretrain-kfold, "
+                        "moco-kfold); finetune/probe/resnet-kfold write only "
+                        "metric-improvement checkpoints, which this flag "
+                        "does not gate")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (one steady epoch)")
     p.add_argument("--perceptual-weight", type=float, default=0.0)

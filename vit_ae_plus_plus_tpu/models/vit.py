@@ -289,6 +289,18 @@ class Block(nn.Module):
         low_ln = self.ln_dtype == "bfloat16"
         fuse_qkv = _use_fused_ln(self.ln_fusion, dim, self.dtype, "qkv")
         fuse_mlp = _use_fused_ln(self.ln_fusion, dim, self.dtype, "mlp")
+        if low_ln and (fuse_qkv or fuse_mlp):
+            # the fused LN+Dense kernel computes its statistics in f32; a
+            # forced fusion would otherwise silently override ln_dtype
+            # (ADVICE r4) — make the conflict loud
+            import warnings
+
+            warnings.warn(
+                "ln_fusion='on' routes LayerNorm through the fused LN+Dense "
+                "kernel, whose statistics are f32 — ln_dtype='bfloat16' is "
+                "ignored on fused blocks; drop one of the two flags",
+                stacklevel=2,
+            )
         attn = Attention(
             self.num_heads,
             attn_impl=self.attn_impl,

@@ -257,11 +257,16 @@ def moco_kfold(
                                  "checkpoint-min_loss")
         min_loss = float("inf")
         start_epoch = 0
+        # --ckpt-every N: same disk-write cadence as pretrain_kfold — the
+        # resume state flushes every N epochs and the interim min-loss best
+        # lives as a device-side copy until the next flush (ADVICE r4)
+        ck_every = max(1, getattr(train_cfg, "ckpt_every", 1))
+        best_dev, best_dirty = None, False
         # preemption-safe resume (matches pretrain_kfold's semantics): the
         # full MoCo state — BOTH encoder copies, their BN stats, and the
-        # LARS moments — is checkpointed every epoch and restored with the
-        # best loss so a resumed run cannot overwrite the min-loss ckpt
-        # with worse weights
+        # LARS moments — is checkpointed on the --ckpt-every cadence and
+        # restored with the best loss so a resumed run cannot overwrite the
+        # min-loss ckpt with worse weights
         resume_path = os.path.join(work_dir, "checkpoints", f"fold_{fold_idx}",
                                    "resume-state")
         if train_cfg.resume and os.path.exists(resume_path):
@@ -314,22 +319,35 @@ def moco_kfold(
                 # params AND the matching batch_stats: the reference saves and
                 # reloads the full state_dict incl. BN buffers
                 # (main_3d_moco_k_fold.py:261-268, 295-322)
-                save_params(ckpt_path, {
-                    "params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats),
-                })
+                if ck_every == 1:
+                    save_params(ckpt_path, {
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats),
+                    })
+                else:
+                    # device-side (HBM->HBM) copy: the jitted step may donate
+                    # its state buffers, so state.params itself can't be held
+                    best_dev = {
+                        "params": jax.tree.map(jnp.copy, state.params),
+                        "batch_stats": jax.tree.map(jnp.copy, state.batch_stats),
+                    }
+                    best_dirty = True
             jsonl.write({"train_loss": mean_loss, "epoch": epoch, "fold": fold_idx})
-            host_state = jax.device_get(state)
-            save_params(resume_path, {
-                "params": host_state.params,
-                "batch_stats": host_state.batch_stats,
-                "momentum_params": host_state.momentum_params,
-                "momentum_batch_stats": host_state.momentum_batch_stats,
-                "opt_state": host_state.opt_state,
-                "step": np.asarray(host_state.step, np.int32),
-                "epoch": np.asarray(epoch),
-                "min_loss": np.asarray(min_loss, np.float64),
-            })
+            if epoch % ck_every == ck_every - 1 or epoch == epochs - 1:
+                if best_dirty:
+                    save_params(ckpt_path, jax.device_get(best_dev))
+                    best_dirty = False
+                host_state = jax.device_get(state)
+                save_params(resume_path, {
+                    "params": host_state.params,
+                    "batch_stats": host_state.batch_stats,
+                    "momentum_params": host_state.momentum_params,
+                    "momentum_batch_stats": host_state.momentum_batch_stats,
+                    "opt_state": host_state.opt_state,
+                    "step": np.asarray(host_state.step, np.int32),
+                    "epoch": np.asarray(epoch),
+                    "min_loss": np.asarray(min_loss, np.float64),
+                })
         results[fold_idx] = {"min_loss": min_loss}
 
         # feature extraction FROM THE SAVED min-loss checkpoint, as the

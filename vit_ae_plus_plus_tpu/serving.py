@@ -473,12 +473,16 @@ class BatchingQueue:
                 now = time.time()
                 for p, f in zip(batch, feats):
                     p.result = f
-                    p.event.set()
+                # record the batch's stats BEFORE waking any client: a caller
+                # returning from infer_one() and immediately reading stats()
+                # must see its own sample (ADVICE r4)
                 with self._stats_lock:
                     for p in batch:
                         self._latencies.append(now - p.t_submit)
                     self._fills.append(len(batch) / self.engine.batch_size)
                 self._total_batches += 1
+                for p in batch:
+                    p.event.set()
             except BaseException as e:  # deliver, don't kill the worker
                 for p in batch:
                     p.error = e
