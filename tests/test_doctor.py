@@ -58,6 +58,34 @@ def test_doctor_flags_cross_machine_cache_entries(tmp_path):
     assert fp in detail  # the remediation names the keyed dir
 
 
+def test_enable_compilation_cache_is_noop_on_cpu(tmp_path):
+    """On XLA:CPU the persistent cache is skipped by design — every AOT load
+    logs a cpu_aot_loader tuning-flag mismatch (+prefer-no-gather never shows
+    up in the host probe), even for same-machine entries (VERDICT r4 #3). An
+    explicit path still forces it (the suite's conftest dir relies on this)."""
+    import jax
+
+    from vit_ae_plus_plus_tpu.utils.cache import enable_compilation_cache
+    from vit_ae_plus_plus_tpu.utils.doctor import _check_compilation_cache
+
+    assert jax.default_backend() == "cpu"
+    was = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_compilation_cache()  # default path: must stay unset on CPU
+        assert jax.config.jax_compilation_cache_dir is None
+        status, detail = _check_compilation_cache()  # doctor says why
+        assert status == "ok" and "XLA:CPU" in detail
+
+        forced = str(tmp_path / "forced_cache")
+        enable_compilation_cache(path=forced)  # explicit path wins
+        assert jax.config.jax_compilation_cache_dir == forced
+        status, detail = _check_compilation_cache()
+        assert status == "ok" and "writable" in detail
+    finally:
+        jax.config.update("jax_compilation_cache_dir", was)
+
+
 def test_doctor_flags_stale_vitae_fingerprint(tmp_path, monkeypatch):
     """A .vitae built on another platform/jax (or in the retired format)
     must surface as a WARN naming the artifact (VERDICT r3 #7)."""

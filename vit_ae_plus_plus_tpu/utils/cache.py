@@ -49,10 +49,23 @@ def default_cache_dir() -> str:
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Reuse XLA compiles across k-fold steps, runs, and processes. Safe on
-    JAX versions without the config options (silently skipped)."""
+    JAX versions without the config options (silently skipped).
+
+    No-op on the XLA:CPU backend unless `path` is given explicitly: XLA:CPU
+    persists AOT executables whose target features include injected LLVM
+    *tuning* flags (+prefer-no-gather/+prefer-no-scatter, the Downfall
+    mitigation) that the load-time host-feature probe never reports, so
+    EVERY persistent-cache hit logs a cpu_aot_loader feature-mismatch error
+    — even for entries compiled on this very machine — and genuine
+    cross-machine reuse is a documented SIGILL risk. Accelerator backends
+    (TPU/axon) are unaffected. Pass an explicit `path` to force CPU caching
+    (the test suite does, via its own conftest dir).
+    """
     import jax
 
     try:
+        if path is None and jax.default_backend() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir", path or default_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

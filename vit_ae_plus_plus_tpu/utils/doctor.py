@@ -57,6 +57,12 @@ def _check_compilation_cache() -> Tuple[str, str]:
 
         path = jax.config.jax_compilation_cache_dir
         if not path:
+            if jax.default_backend() == "cpu":
+                return _OK, (
+                    "persistent cache disabled on XLA:CPU by design "
+                    "(cpu_aot_loader tuning-flag mismatch on every load — "
+                    "see utils/cache.py)"
+                )
             return _WARN, "compilation cache not configured (first compiles slow)"
         os.makedirs(path, exist_ok=True)
         probe = os.path.join(path, ".doctor-probe")
