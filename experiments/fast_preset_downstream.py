@@ -19,7 +19,14 @@ Resume-aware: models whose per-fold features already exist are skipped, and
 pretrain-kfold runs with --resume so an interrupted run continues from its
 per-fold checkpoint (the dev box's TPU tunnel drops for hours at a time).
 
-Run on the real TPU:  python experiments/fast_preset_downstream.py [out_dir]
+Multi-seed protocol (VERDICT r4 #2): the dataset and fold split are fixed
+(synth seed 0 / prepare-data), while `train_seed` varies init/shuffle/mask
+RNG — so per-seed passes are PAIRED comparisons across identical folds. Each
+pass writes `results.json` in its own out_dir AND merges into the canonical
+seed-keyed artifact `experiments/fast_preset_results.json` ({"seeds":
+{"<seed>": {arm: {...}}}}); use a fresh out_dir per seed.
+
+Run on the real TPU:  python experiments/fast_preset_downstream.py [out_dir] [train_seed]
 Results land in BASELINE.md ("Fast presets downstream" section).
 """
 import json
@@ -129,7 +136,31 @@ def main(out_dir, train_seed=42):
 
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
+    merge_into_canonical(train_seed, results)
     print(json.dumps(results, indent=2))
+
+
+def merge_into_canonical(train_seed, results,
+                         path=os.path.join(os.path.dirname(__file__),
+                                           "fast_preset_results.json")):
+    """Fold this pass into the seed-keyed committed artifact. Legacy flat
+    layout (arm -> stats, the original single-seed-42 run) is lifted into
+    seeds["42"] on first contact."""
+    combined = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            combined = json.load(f)
+    if combined and "seeds" not in combined:   # legacy flat = the seed-42 run
+        combined = {"seeds": {"42": combined}}
+    combined.setdefault("protocol", {
+        "n_volumes": N, "volume_size": S, "n_splits": N_SPLITS,
+        "epochs": 60, "batch_size": 8, "dataset_seed": 0,
+        "note": "paired across seeds: identical data + folds, train_seed "
+                "varies init/shuffle/mask RNG only",
+    })
+    combined.setdefault("seeds", {})[str(train_seed)] = results
+    with open(path, "w") as f:
+        json.dump(combined, f, indent=2)
 
 
 if __name__ == "__main__":
