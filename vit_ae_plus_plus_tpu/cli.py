@@ -611,9 +611,12 @@ def main(argv=None):
 
 def run():
     """Console entry with friendly error reporting."""
+    from vit_ae_plus_plus_tpu.utils.locking import WorkdirLockedError
+
     try:
         return main()
-    except (FileNotFoundError, FileExistsError, KeyError, ValueError) as e:
+    except (FileNotFoundError, FileExistsError, KeyError, ValueError,
+            WorkdirLockedError) as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 2
 

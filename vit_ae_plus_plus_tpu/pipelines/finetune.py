@@ -32,6 +32,7 @@ import optax
 
 from vit_ae_plus_plus_tpu.ops import soft_cross_entropy_with_weights
 from vit_ae_plus_plus_tpu.train import TrainState
+from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
 from vit_ae_plus_plus_tpu.utils.metrics import roc_auc
 
 
@@ -272,6 +273,7 @@ def finetune_single(
     from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
     from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
 
+    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     ds_train = get_dataset(data_cfg.name, "train", data_cfg,
                            transforms=default_ssl_transforms(),
                            use_z_score=data_cfg.use_z_score)
@@ -377,4 +379,5 @@ def finetune_single(
         if os.path.exists(path):
             best = load_params(path, state.params)
             results[name] = evaluate(eval_step, best, test_loader, train_cfg.batch_size)
+    release_workdir_lock(work_dir)
     return results

@@ -28,6 +28,7 @@ from vit_ae_plus_plus_tpu.pipelines.finetune import evaluate, weighted_ce
 from vit_ae_plus_plus_tpu.train import TrainState
 from vit_ae_plus_plus_tpu.train.checkpoint import save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
+from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
 from vit_ae_plus_plus_tpu.train.optim import warmup_cosine_schedule
 
 
@@ -75,6 +76,7 @@ def resnet_kfold(
     epochs: Optional[int] = None,
     eval_only: bool = False,
 ) -> Dict:
+    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     epochs = epochs if epochs is not None else train_cfg.epochs
     dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
                               transforms=default_ssl_transforms(),
@@ -145,4 +147,5 @@ def resnet_kfold(
             jsonl.write({**{f"test_{k}": v for k, v in test_stats.items()},
                          "epoch": epoch, "fold": fold_idx})
         results[fold_idx] = {"best_roc": best_roc}
+    release_workdir_lock(work_dir)
     return results
