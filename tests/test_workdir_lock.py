@@ -131,3 +131,26 @@ def test_every_training_pipeline_refuses_locked_workdir(tmp_path, entry):
     finally:
         other.kill()
         other.wait()
+
+
+def test_cli_formats_lock_error(tmp_path, capsys, monkeypatch):
+    """The console entry reports a held lock as `error: ...` + rc 2, not a
+    traceback (the lock is taken before any data/config is touched, so a
+    bogus --data-path never gets the chance to fail first)."""
+    from vit_ae_plus_plus_tpu import cli
+
+    d = str(tmp_path / "work")
+    other = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        write_foreign_lock(d, other.pid)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["vitae", "pretrain-kfold", "--data-path", str(tmp_path / "nope"),
+             "--work-dir", d],
+        )
+        assert cli.run() == 2
+        err = capsys.readouterr().err
+        assert "WorkdirLockedError" in err and str(other.pid) in err
+    finally:
+        other.kill()
+        other.wait()
