@@ -316,6 +316,31 @@ def test_http_body_size_cap(engine):
         q.close()
 
 
+def test_http_body_cap_delivered_while_client_still_sending(engine):
+    """413 must reach a client that is still mid-send. The body here exceeds
+    what loopback socket buffers can absorb, so without the server-side
+    bounded drain (serving.py Handler._drain_body) the close-with-unread-data
+    RSTs the connection and the client sees EPIPE/ECONNRESET instead of the
+    status code (this happened nondeterministically under CPU load with
+    buffer-sized bodies)."""
+    q = BatchingQueue(engine, max_wait_ms=1.0)
+    server = make_http_server(queue=q, host="127.0.0.1", port=0, max_body_mb=16)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = b"\x00" * (24 * 2**20)  # 1.5x the cap, inside the 2x drain bound
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/features", data=body, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 413
+    finally:
+        server.shutdown()
+        server.server_close()
+        q.close()
+
+
 def test_stats_endpoint_with_no_queues_returns_empty():
     import json
 

@@ -284,6 +284,8 @@ def main(argv=None):
                           "compile — every other engine flag is ignored")
     srv.add_argument("--max-wait-ms", type=float, default=5.0,
                      help="dynamic-batching gather window")
+    srv.add_argument("--max-body-mb", type=int, default=1024,
+                     help="reject request bodies over this size with HTTP 413")
     srv.add_argument("--n-devices", type=int, default=None,
                      help="shard serving slabs over a 'data' mesh of this "
                           "many chips (must divide the batch size)")
@@ -382,7 +384,7 @@ def main(argv=None):
                 pass  # load_engine below reports unreadable artifacts properly
             serve(
                 engine_path=args.engine, max_wait_ms=args.max_wait_ms,
-                host=args.host, port=args.port,
+                host=args.host, port=args.port, max_body_mb=args.max_body_mb,
             )
             return 0
         if args.checkpoint is None:
@@ -405,6 +407,7 @@ def main(argv=None):
             compute_dtype=args.compute_dtype, quantize=args.quantize,
             normalize=args.normalize, max_wait_ms=args.max_wait_ms,
             host=args.host, port=args.port, mesh=mesh,
+            max_body_mb=args.max_body_mb,
             task=args.task, num_classes=args.num_classes,
             ensemble_criterion=args.ensemble_criterion,
             resize=args.resize_inputs,

@@ -585,6 +585,27 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
+        def _drain_body(self):
+            # The 413 path rejects BEFORE reading the body. Closing a socket
+            # with unread request data makes the kernel send RST, and an RST
+            # discards the client's receive buffer — destroying the 413
+            # response before the (still-sending) client can read it
+            # (observed as client-side EPIPE under load). Discard a bounded
+            # amount of body so the close is graceful and the status code is
+            # reliably delivered; an oversend beyond twice the cap still gets
+            # the hard close rather than unbounded drain bandwidth.
+            try:
+                left = int(self.headers.get("Content-Length", 0))
+                if left > 2 * max_body_mb * 2**20:
+                    return
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+            except OSError:
+                pass
+
         def _read_volumes(self, engine) -> np.ndarray:
             length = int(self.headers.get("Content-Length", 0))
             if length > max_body_mb * 2**20:
@@ -635,6 +656,7 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
             except QueueFull as e:
                 self._json(429, {"error": str(e)})  # shed load, retry later
             except _BodyTooLarge as e:
+                self._drain_body()
                 self._json(413, {"error": str(e)})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})  # server-side: retryable
@@ -713,6 +735,7 @@ def serve(
     ensemble_criterion: str = "ft",
     resize: bool = False,
     engine_path: Optional[str] = None,
+    max_body_mb: int = 1024,
 ):
     """Build the engine, warm the serving shape, run the HTTP server.
 
@@ -752,7 +775,7 @@ def serve(
               f"{quantize if quantize != 'none' else compute_dtype}{folds})")
     queue = BatchingQueue(engine, max_wait_ms=max_wait_ms)
     kw = {"classifier_queue": queue} if task == "classify" else {"queue": queue}
-    server = make_http_server(host=host, port=port, **kw)
+    server = make_http_server(host=host, port=port, max_body_mb=max_body_mb, **kw)
 
     import signal
 
