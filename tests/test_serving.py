@@ -335,9 +335,26 @@ def test_http_body_cap_delivered_while_client_still_sending(engine):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 413
+        # the 404 path also rejects before reading: same RST hazard, same drain
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/nosuchpath",
+            data=b"\x00" * (8 * 2**20), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
     finally:
         server.shutdown()
         server.server_close()
+        q.close()
+
+
+def test_http_server_rejects_nonpositive_body_cap(engine):
+    q = BatchingQueue(engine, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="max_body_mb"):
+            make_http_server(queue=q, host="127.0.0.1", port=0, max_body_mb=0)
+    finally:
         q.close()
 
 

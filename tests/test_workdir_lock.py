@@ -2,10 +2,11 @@
 
 Two training processes pointed at one work dir race on the same orbax
 checkpoint directories (concurrent tensorstore OCDBT commits abort one
-writer and can leave a silently-corrupt checkpoint behind — observed live).
-Every training pipeline entry must refuse a second live writer.
+writer — observed live). Every training pipeline entry must refuse a second
+live writer. The mechanism is a kernel flock: atomic against simultaneous
+launches, auto-released when the holder dies (no stale-lock cleanup), and
+immune to pid reuse.
 """
-import json
 import os
 import subprocess
 import sys
@@ -15,6 +16,7 @@ import pytest
 from vit_ae_plus_plus_tpu.utils.locking import (
     WorkdirLockedError,
     acquire_workdir_lock,
+    locked_workdir,
     release_workdir_lock,
 )
 
@@ -23,82 +25,117 @@ def lock_path(d):
     return os.path.join(d, ".writer.lock")
 
 
-def write_foreign_lock(d, pid):
+_HOLD_SRC = """
+import fcntl, json, os, sys, time
+fd = os.open(sys.argv[1], os.O_RDWR | os.O_CREAT, 0o644)
+fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+os.ftruncate(fd, 0)
+os.pwrite(fd, json.dumps({"pid": os.getpid(), "started": "held"}).encode(), 0)
+print("HELD", flush=True)
+time.sleep(120)
+"""
+
+_TRY_SRC = """
+import fcntl, os, sys
+fd = os.open(sys.argv[1], os.O_RDWR | os.O_CREAT, 0o644)
+try:
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    print("GOT")
+except OSError:
+    print("REFUSED")
+"""
+
+
+def hold_lock_in_child(d):
+    """Spawn a process that really flocks the work dir's lock file."""
     os.makedirs(d, exist_ok=True)
+    p = subprocess.Popen(
+        [sys.executable, "-c", _HOLD_SRC, lock_path(d)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    assert p.stdout.readline().strip() == "HELD"
+    return p
+
+
+def other_process_can_lock(d) -> bool:
+    out = subprocess.run(
+        [sys.executable, "-c", _TRY_SRC, lock_path(d)],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    assert out in ("GOT", "REFUSED"), out
+    return out == "GOT"
+
+
+def test_acquire_blocks_others_release_frees(tmp_path):
+    d = str(tmp_path / "work")
+    acquire_workdir_lock(d)
+    assert not other_process_can_lock(d)
+    release_workdir_lock(d)
+    assert other_process_can_lock(d)
+
+
+def test_reentrant_holds_until_outermost_release(tmp_path):
+    d = str(tmp_path / "work")
+    acquire_workdir_lock(d)
+    acquire_workdir_lock(d)  # chained pipelines / repeated calls
+    release_workdir_lock(d)  # inner release must NOT drop the outer hold
+    assert not other_process_can_lock(d)
+    release_workdir_lock(d)
+    assert other_process_can_lock(d)
+
+
+def test_leftover_file_without_flock_does_not_block(tmp_path):
+    """A lock file left by a SIGKILLed run holds no flock — resume needs no
+    manual cleanup, and a recycled pid in the payload cannot fake liveness."""
+    d = str(tmp_path / "work")
+    os.makedirs(d)
     with open(lock_path(d), "w") as f:
-        json.dump({"pid": pid, "started": "2026-01-01T00:00:00"}, f)
-
-
-def dead_pid():
-    p = subprocess.Popen(["true"])
-    p.wait()
-    return p.pid
-
-
-def test_acquire_creates_and_release_removes(tmp_path):
-    d = str(tmp_path / "work")
+        f.write('{"pid": 1, "started": "2020-01-01"}')  # pid 1 is alive
     acquire_workdir_lock(d)
-    assert os.path.exists(lock_path(d))
-    with open(lock_path(d)) as f:
-        assert json.load(f)["pid"] == os.getpid()
-    release_workdir_lock(d)
-    assert not os.path.exists(lock_path(d))
-
-
-def test_reentrant_within_one_process(tmp_path):
-    d = str(tmp_path / "work")
-    acquire_workdir_lock(d)
-    acquire_workdir_lock(d)  # chained pipelines / repeated calls: no-op
     release_workdir_lock(d)
 
 
-def test_stale_lock_from_dead_pid_is_replaced(tmp_path, capsys):
+def test_torn_payload_does_not_block(tmp_path):
     d = str(tmp_path / "work")
-    write_foreign_lock(d, dead_pid())
+    os.makedirs(d)
+    with open(lock_path(d), "w") as f:
+        f.write('{"pid": 123')  # killed mid-write; flock is gone anyway
     acquire_workdir_lock(d)
-    assert "stale" in capsys.readouterr().out
-    with open(lock_path(d)) as f:
-        assert json.load(f)["pid"] == os.getpid()
     release_workdir_lock(d)
 
 
-def test_live_foreign_pid_refused_with_actionable_message(tmp_path):
+def test_live_holder_refused_then_freed_by_its_death(tmp_path):
     d = str(tmp_path / "work")
-    other = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    holder = hold_lock_in_child(d)
     try:
-        write_foreign_lock(d, other.pid)
         with pytest.raises(WorkdirLockedError) as ei:
             acquire_workdir_lock(d)
-        msg = str(ei.value)
-        assert str(other.pid) in msg and "--work-dir" in msg
-        # and the foreign lock is left untouched
-        with open(lock_path(d)) as f:
-            assert json.load(f)["pid"] == other.pid
+        assert str(holder.pid) in str(ei.value)
+        assert "--work-dir" in str(ei.value)
     finally:
-        other.kill()
-        other.wait()
-
-
-def test_torn_lock_file_treated_as_stale(tmp_path):
-    d = str(tmp_path / "work")
-    os.makedirs(d, exist_ok=True)
-    with open(lock_path(d), "w") as f:
-        f.write('{"pid": 123')  # killed mid-write
+        holder.kill()
+        holder.wait()
+    # the kernel released the flock with the process: no cleanup needed
     acquire_workdir_lock(d)
     release_workdir_lock(d)
 
 
-def test_release_does_not_remove_foreign_lock(tmp_path):
+def test_decorator_releases_on_exception(tmp_path):
     d = str(tmp_path / "work")
-    write_foreign_lock(d, 1)  # pid 1: alive, never ours
-    release_workdir_lock(d)
-    assert os.path.exists(lock_path(d))
-    os.remove(lock_path(d))
+
+    @locked_workdir
+    def boom(work_dir):
+        assert not other_process_can_lock(work_dir)  # held during the body
+        raise RuntimeError("mid-run failure")
+
+    with pytest.raises(RuntimeError, match="mid-run"):
+        boom(d)
+    assert other_process_can_lock(d)  # finally released it
 
 
-# The acquire call is the FIRST statement of every training-pipeline entry,
-# so a locked work dir must be refused before any config/data is touched —
-# which also lets these run with no configs at all.
+# The decorator wraps every training-pipeline entry, so a locked work dir
+# must be refused before any config/data is touched — which also lets these
+# run with no configs at all.
 @pytest.mark.parametrize(
     "entry",
     ["pretrain_kfold", "moco_kfold", "resnet_kfold", "probe_kfold",
@@ -123,14 +160,13 @@ def test_every_training_pipeline_refuses_locked_workdir(tmp_path, entry):
         "contrastive_train": lambda d: contrastive.contrastive_train(None, None, d),
     }
     d = str(tmp_path / "work")
-    other = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    holder = hold_lock_in_child(d)
     try:
-        write_foreign_lock(d, other.pid)
         with pytest.raises(WorkdirLockedError):
             fns[entry](d)
     finally:
-        other.kill()
-        other.wait()
+        holder.kill()
+        holder.wait()
 
 
 def test_cli_formats_lock_error(tmp_path, capsys, monkeypatch):
@@ -140,9 +176,8 @@ def test_cli_formats_lock_error(tmp_path, capsys, monkeypatch):
     from vit_ae_plus_plus_tpu import cli
 
     d = str(tmp_path / "work")
-    other = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    holder = hold_lock_in_child(d)
     try:
-        write_foreign_lock(d, other.pid)
         monkeypatch.setattr(
             sys, "argv",
             ["vitae", "pretrain-kfold", "--data-path", str(tmp_path / "nope"),
@@ -150,7 +185,7 @@ def test_cli_formats_lock_error(tmp_path, capsys, monkeypatch):
         )
         assert cli.run() == 2
         err = capsys.readouterr().err
-        assert "WorkdirLockedError" in err and str(other.pid) in err
+        assert "WorkdirLockedError" in err and str(holder.pid) in err
     finally:
-        other.kill()
-        other.wait()
+        holder.kill()
+        holder.wait()

@@ -31,7 +31,7 @@ from vit_ae_plus_plus_tpu.ops import negative_cosine_loss
 from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
 from vit_ae_plus_plus_tpu.train.checkpoint import save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 
 
 @flax.struct.dataclass
@@ -76,6 +76,7 @@ def make_contrastive_step(model, mesh=None):
     return jax.jit(step, donate_argnums=(0,))
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def contrastive_train(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -87,7 +88,6 @@ def contrastive_train(
 ) -> Dict:
     """Train a VisionTransformer3DContrastive on 2-view (original, augmented)
     pairs over the whole SSL pool."""
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     epochs = epochs if epochs is not None else train_cfg.epochs
     transforms = default_ssl_transforms()
     dataset = get_dataset(data_cfg.name, "whole", data_cfg, transforms=transforms,
@@ -152,5 +152,4 @@ def contrastive_train(
                 "batch_stats": jax.device_get(state.batch_stats),
             })
         jsonl.write({"train_loss": mean_loss, "epoch": epoch})
-    release_workdir_lock(work_dir)
     return {"min_loss": min_loss, "checkpoint": ckpt_path}

@@ -32,7 +32,7 @@ import optax
 
 from vit_ae_plus_plus_tpu.ops import soft_cross_entropy_with_weights
 from vit_ae_plus_plus_tpu.train import TrainState
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 from vit_ae_plus_plus_tpu.utils.metrics import roc_auc
 
 
@@ -239,6 +239,7 @@ class BestModelTracker:
                 save_params(os.path.join(self.out_dir, f"checkpoint-{tag}"), params)
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def finetune_single(
     data_cfg,
     train_cfg,
@@ -273,7 +274,6 @@ def finetune_single(
     from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
     from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
 
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     ds_train = get_dataset(data_cfg.name, "train", data_cfg,
                            transforms=default_ssl_transforms(),
                            use_z_score=data_cfg.use_z_score)
@@ -379,5 +379,4 @@ def finetune_single(
         if os.path.exists(path):
             best = load_params(path, state.params)
             results[name] = evaluate(eval_step, best, test_loader, train_cfg.batch_size)
-    release_workdir_lock(work_dir)
     return results

@@ -39,7 +39,7 @@ from vit_ae_plus_plus_tpu.train import warmup_cosine_schedule
 from vit_ae_plus_plus_tpu.train.checkpoint import load_params, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_lars
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 
 
 @flax.struct.dataclass
@@ -152,6 +152,7 @@ def build_moco_model(
     return MoCoViT3D(vit_cfg, dim=moco_dim, mlp_dim=moco_mlp_dim)
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def moco_kfold(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -175,7 +176,6 @@ def moco_kfold(
     fsdp_min_size: Optional[int] = None,  # leaf-size sharding floor override
     # (parallel/fsdp.py _MIN_SHARD_ELEMENTS; tests use tiny trunks)
 ) -> Dict:
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     epochs = epochs if epochs is not None else train_cfg.epochs
     if fsdp:
         if mesh is None or mesh.shape.get("data", 1) <= 1:
@@ -361,7 +361,6 @@ def moco_kfold(
                 model, ckpt_path, dataset_no_aug, np.sort(ids),
                 train_cfg.batch_size, feat_dir, tag, fold_idx,
             )
-    release_workdir_lock(work_dir)
     return results
 
 

@@ -43,7 +43,7 @@ from vit_ae_plus_plus_tpu.train import (
 from vit_ae_plus_plus_tpu.train.checkpoint import CheckpointManager, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger, MetricLogger, TBWriter
 from vit_ae_plus_plus_tpu.train.step import make_feature_step
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 
 
 def pretrain_one_fold(
@@ -442,6 +442,7 @@ def extract_fold_features(
             np.concatenate(labels))
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def pretrain_kfold(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -452,7 +453,6 @@ def pretrain_kfold(
     folds=None,
 ) -> Dict:
     """Full combined pipeline over all folds."""
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     transforms = default_ssl_transforms()
     if data_cfg.name == "egd":
         # EGD combined semantics (reference k_fold_…_egd.py:103-137): k-fold
@@ -566,5 +566,4 @@ def pretrain_kfold(
             num_classes=data_cfg.num_classes,
         )
         results[fold_idx] = stats
-    release_workdir_lock(work_dir)
     return results

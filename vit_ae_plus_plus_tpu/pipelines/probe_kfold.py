@@ -37,9 +37,10 @@ from vit_ae_plus_plus_tpu.train import TrainState, warmup_cosine_schedule
 from vit_ae_plus_plus_tpu.train.checkpoint import load_params, save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
 from vit_ae_plus_plus_tpu.train.optim import make_layerwise_adamw, make_sgd
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def probe_kfold(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -62,7 +63,6 @@ def probe_kfold(
     eval_only skips training and evaluates the saved best checkpoints
     (reference linear_projection.py:197-207 / fine_tune_epoch.py:304-311).
     """
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     epochs = epochs if epochs is not None else train_cfg.epochs
     dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
                               transforms=default_ssl_transforms(),
@@ -221,7 +221,6 @@ def probe_kfold(
                 best = load_params(path, state.params)
                 fold_result[name] = evaluate(eval_step, best, test_loader, train_cfg.batch_size)
         results[fold_idx] = fold_result
-    release_workdir_lock(work_dir)
     return results
 
 

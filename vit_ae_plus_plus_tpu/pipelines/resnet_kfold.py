@@ -28,7 +28,7 @@ from vit_ae_plus_plus_tpu.pipelines.finetune import evaluate, weighted_ce
 from vit_ae_plus_plus_tpu.train import TrainState
 from vit_ae_plus_plus_tpu.train.checkpoint import save_params
 from vit_ae_plus_plus_tpu.train.metrics import JsonlLogger
-from vit_ae_plus_plus_tpu.utils.locking import acquire_workdir_lock, release_workdir_lock
+from vit_ae_plus_plus_tpu.utils.locking import locked_workdir
 from vit_ae_plus_plus_tpu.train.optim import warmup_cosine_schedule
 
 
@@ -64,6 +64,7 @@ def make_resnet_steps(model, class_weights: np.ndarray):
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
+@locked_workdir  # refuse a second live writer (utils/locking.py)
 def resnet_kfold(
     data_cfg: DataConfig,
     train_cfg: TrainConfig,
@@ -76,7 +77,6 @@ def resnet_kfold(
     epochs: Optional[int] = None,
     eval_only: bool = False,
 ) -> Dict:
-    acquire_workdir_lock(work_dir)  # refuse a second writer (utils/locking.py)
     epochs = epochs if epochs is not None else train_cfg.epochs
     dataset_aug = get_dataset(data_cfg.name, "whole", data_cfg,
                               transforms=default_ssl_transforms(),
@@ -147,5 +147,4 @@ def resnet_kfold(
             jsonl.write({**{f"test_{k}": v for k, v in test_stats.items()},
                          "epoch": epoch, "fold": fold_idx})
         results[fold_idx] = {"best_roc": best_roc}
-    release_workdir_lock(work_dir)
     return results

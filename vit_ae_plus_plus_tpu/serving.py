@@ -538,6 +538,11 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
     504 inference timeout."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    if max_body_mb < 1:
+        # a zero/negative cap would also zero _drain_body's bound and bring
+        # back the RST-eats-413 failure the drain exists to prevent
+        raise ValueError(f"max_body_mb must be >= 1, got {max_body_mb}")
+
     class _Server(ThreadingHTTPServer):
         # join handler threads on server_close(): a SIGTERM drain must let
         # already-computed responses finish writing, not kill their threads
@@ -586,24 +591,29 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def _drain_body(self):
-            # The 413 path rejects BEFORE reading the body. Closing a socket
+            # Rejection paths (413 over-cap, 404 unknown path, 400 malformed
+            # headers) respond WITHOUT reading the body. Closing a socket
             # with unread request data makes the kernel send RST, and an RST
-            # discards the client's receive buffer — destroying the 413
+            # discards the client's receive buffer — destroying the error
             # response before the (still-sending) client can read it
-            # (observed as client-side EPIPE under load). Discard a bounded
-            # amount of body so the close is graceful and the status code is
-            # reliably delivered; an oversend beyond twice the cap still gets
-            # the hard close rather than unbounded drain bandwidth.
+            # (observed as client-side EPIPE under load). Discard the unread
+            # remainder — bounded — so the close is graceful and the status
+            # code is reliably delivered; an oversend beyond twice the cap
+            # still gets the hard close rather than unbounded drain
+            # bandwidth. Safe after a full read too: the consumed counter
+            # makes the remainder zero, so this never blocks on a socket
+            # with no data left.
             try:
-                left = int(self.headers.get("Content-Length", 0))
-                if left > 2 * max_body_mb * 2**20:
+                length = int(self.headers.get("Content-Length", 0))
+                left = length - getattr(self, "_consumed", 0)
+                if length > 2 * max_body_mb * 2**20:
                     return
                 while left > 0:
                     chunk = self.rfile.read(min(left, 1 << 20))
                     if not chunk:
                         break
                     left -= len(chunk)
-            except OSError:
+            except (OSError, ValueError):
                 pass
 
         def _read_volumes(self, engine) -> np.ndarray:
@@ -613,6 +623,7 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                     f"body {length} bytes > max_body_mb={max_body_mb}"
                 )
             body = self.rfile.read(length)
+            self._consumed = len(body)
             if body[:6] == b"\x93NUMPY":
                 arr = np.load(io.BytesIO(body), allow_pickle=False)
             else:
@@ -632,6 +643,7 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
             return arr
 
         def do_POST(self):
+            self._consumed = 0
             try:
                 if self.path == "/features" and queue is not None:
                     feats = _gather(queue, self._read_volumes(queue.engine))
@@ -652,6 +664,7 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                         "num_folds": eng.num_folds,
                     })
                 else:
+                    self._drain_body()  # rejected before the body was read
                     self._json(404, {"error": f"unknown path {self.path}"})
             except QueueFull as e:
                 self._json(429, {"error": str(e)})  # shed load, retry later
@@ -661,6 +674,7 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})  # server-side: retryable
             except ValueError as e:  # malformed body/shape: client fault
+                self._drain_body()  # no-op unless rejected pre-read
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # device/runtime failure: server fault
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

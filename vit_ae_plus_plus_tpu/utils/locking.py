@@ -4,42 +4,51 @@ Two training processes sharing one work dir race on the same orbax
 checkpoint directories; tensorstore's OCDBT writer detects the conflicting
 commit and aborts one writer mid-epoch (observed live on this project: two
 concurrently launched `pretrain-kfold` runs on one work dir died with
-``tensorstore/kvstore/transaction.cc`` commit aborts, and the survivor's
-silently-corrupted fold checkpoint produced a below-chance downstream
-AUROC). The reference has no guard at all — two of its ``main_*.py``
-launches pointed at one ``--output_dir`` clobber each other's ``.pth``
-files last-writer-wins (/root/reference/model/main_autoenc.py output_dir
-handling). We refuse loudly instead.
+``tensorstore/kvstore/transaction.cc`` commit aborts). The reference has no
+guard at all — two of its ``main_*.py`` launches pointed at one
+``--output_dir`` clobber each other's ``.pth`` files last-writer-wins
+(/root/reference/model/main_autoenc.py output_dir handling). We refuse
+loudly instead.
+
+Mechanism: ``flock(LOCK_EX | LOCK_NB)`` on ``<work_dir>/.writer.lock``,
+held for the duration of the pipeline. flock is kernel-atomic (no
+check-then-create race between two simultaneous launches) and is released
+automatically when the holding process dies — a SIGKILLed run leaves no
+stale lock and resumes with no manual cleanup, and a recycled pid can
+never masquerade as a live holder. The file's JSON payload (pid, start
+time) is purely diagnostic for the refusal message; a leftover file with
+no active flock locks nothing.
 
 Semantics
 ---------
-* One lock file per work dir (``<work_dir>/.writer.lock``), containing the
-  holder's pid and start time as JSON.
-* Same-process re-acquisition is a no-op refresh: the k-fold pipelines are
-  routinely chained in one process (pretrain -> extract -> probe on the same
-  dir), and tests call them repeatedly.
-* A lock whose pid is dead is stale and silently replaced — a SIGKILLed run
-  must stay resumable without manual cleanup, so release-on-exit is a
-  nicety (registered via atexit) rather than a correctness requirement.
-* A lock whose pid is alive in another process raises
-  :class:`WorkdirLockedError` with the pid and the remediation.
+* :func:`locked_workdir` decorates a pipeline entry taking a ``work_dir``
+  argument: the lock is taken before the body runs (before any config or
+  data is touched) and released in ``finally`` — an exception mid-run
+  cannot leave the dir locked for the rest of a long-lived host process.
+* Acquisition is re-entrant within one process (per-path hold count): the
+  k-fold pipelines are routinely chained in one process and tests call
+  them repeatedly; an inner hold released by ``finally`` does not drop an
+  outer one.
+* A second live holder raises :class:`WorkdirLockedError` naming the
+  holder's pid and the remediation.
 
-Scope: single host. Staleness is decided by pid liveness (``os.kill(pid,
-0)``), which cannot be checked across hosts; multi-host SPMD launches run
-one process per host against host-local or per-host-suffixed work dirs
-(parallel/mesh.py), so cross-host contention does not arise in the
-supported layouts.
+Scope: single host (flock does not span NFS reliably; multi-host SPMD
+launches run one process per host against host-local or per-host-suffixed
+work dirs — parallel/mesh.py).
 """
 from __future__ import annotations
 
-import atexit
+import fcntl
+import functools
+import inspect
 import json
 import os
 import time
-from typing import Optional
+from typing import Dict
 
 _LOCK_NAME = ".writer.lock"
-_atexit_registered = set()
+# realpath -> [fd, hold_count]; the open fd IS the lock
+_held: Dict[str, list] = {}
 
 
 class WorkdirLockedError(RuntimeError):
@@ -50,84 +59,82 @@ def _lock_path(work_dir: str) -> str:
     return os.path.join(work_dir, _LOCK_NAME)
 
 
-def _pid_alive(pid: int) -> bool:
-    if pid <= 0:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
-
-
-def _read_lock(path: str) -> Optional[dict]:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        # vanished between listdir and open, or torn write from a killed
-        # process — both mean "not a live holder"
-        return None
-
-
-def _write_lock(path: str) -> None:
-    payload = json.dumps(
-        {"pid": os.getpid(), "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    )
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        f.write(payload)
-    os.replace(tmp, path)  # atomic on POSIX
-
-
 def acquire_workdir_lock(work_dir: str) -> None:
-    """Take (or refresh) the single-writer lock on ``work_dir``.
+    """Take (or re-enter) the single-writer flock on ``work_dir``.
 
     Raises :class:`WorkdirLockedError` if another live process holds it.
     """
     os.makedirs(work_dir, exist_ok=True)
+    key = os.path.realpath(work_dir)
+    if key in _held:
+        _held[key][1] += 1
+        return
     path = _lock_path(work_dir)
-    held = _read_lock(path)
-    if held is not None:
-        pid = int(held.get("pid", -1))
-        if pid == os.getpid():
-            return  # re-entrant: we already own this dir
-        if _pid_alive(pid):
-            raise WorkdirLockedError(
-                f"work dir {work_dir!r} is locked by live pid {pid} (started "
-                f"{held.get('started', '?')}). Two training processes sharing "
-                "one work dir corrupt each other's checkpoints (concurrent "
-                "orbax/tensorstore commits). Wait for that run, point this one "
-                f"at a different --work-dir, or — if pid {pid} belongs to a "
-                f"different machine that crashed — delete {path}."
-            )
-        print(
-            f"Replacing stale work-dir lock {path} (pid {pid} is dead)",
-            flush=True,
-        )
-    _write_lock(path)
-    # A stale lock can be observed by two racers at once; os.replace means
-    # last-writer-wins, so confirm we are the one that won.
-    winner = _read_lock(path)
-    if winner is not None and int(winner.get("pid", -1)) != os.getpid():
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        holder = "unknown pid"
+        try:
+            held = json.loads(os.read(fd, 4096) or b"{}")
+            holder = f"pid {held.get('pid', '?')} (started {held.get('started', '?')})"
+        except ValueError:
+            pass
+        os.close(fd)
         raise WorkdirLockedError(
-            f"lost the work-dir lock race for {work_dir!r} to live pid "
-            f"{winner.get('pid')} — use a different --work-dir."
-        )
-    real = os.path.realpath(work_dir)
-    if real not in _atexit_registered:
-        _atexit_registered.add(real)
-        atexit.register(release_workdir_lock, work_dir)
+            f"work dir {work_dir!r} is locked by live {holder}. Two training "
+            "processes sharing one work dir corrupt each other's checkpoints "
+            "(concurrent orbax/tensorstore commits). Wait for that run or "
+            "point this one at a different --work-dir. (The lock is a kernel "
+            "flock: it vanishes with its process, so it is never stale.)"
+        ) from None
+    payload = json.dumps(
+        {"pid": os.getpid(), "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    ).encode()
+    os.ftruncate(fd, 0)
+    os.pwrite(fd, payload, 0)
+    _held[key] = [fd, 1]
 
 
 def release_workdir_lock(work_dir: str) -> None:
-    """Drop the lock if this process holds it (no-op otherwise)."""
-    path = _lock_path(work_dir)
-    held = _read_lock(path)
-    if held is not None and int(held.get("pid", -1)) == os.getpid():
+    """Drop one hold; the flock is released when the count reaches zero.
+
+    No-op if this process does not hold the lock. The lock file itself is
+    left in place deliberately: unlinking it would let a racer flock the
+    old inode while a third process creates-and-flocks a fresh file —
+    two winners. A file with no active flock locks nothing.
+    """
+    key = os.path.realpath(work_dir)
+    entry = _held.get(key)
+    if entry is None:
+        return
+    entry[1] -= 1
+    if entry[1] > 0:
+        return
+    fd, _ = _held.pop(key)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
+
+
+def locked_workdir(fn):
+    """Hold the work-dir writer lock for the duration of ``fn``.
+
+    ``fn`` must take a ``work_dir`` argument (positionally or by keyword).
+    The lock is acquired BEFORE the body runs — a locked dir is refused
+    before any config or data is touched — and released in ``finally``.
+    """
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind_partial(*args, **kwargs)
+        work_dir = bound.arguments["work_dir"]
+        acquire_workdir_lock(work_dir)
         try:
-            os.remove(path)
-        except OSError:
-            pass
+            return fn(*args, **kwargs)
+        finally:
+            release_workdir_lock(work_dir)
+
+    return wrapper
