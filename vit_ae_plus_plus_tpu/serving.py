@@ -591,8 +591,8 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def _drain_body(self):
-            # Rejection paths (413 over-cap, 404 unknown path, 400 malformed
-            # headers) respond WITHOUT reading the body. Closing a socket
+            # Rejection paths that respond WITHOUT reading the body (413
+            # over-cap, 404 unknown path): closing a socket
             # with unread request data makes the kernel send RST, and an RST
             # discards the client's receive buffer — destroying the error
             # response before the (still-sending) client can read it
@@ -674,7 +674,11 @@ def make_http_server(queue: Optional[BatchingQueue] = None,
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})  # server-side: retryable
             except ValueError as e:  # malformed body/shape: client fault
-                self._drain_body()  # no-op unless rejected pre-read
+                # no drain here: every body-content ValueError is raised
+                # after a full read (nothing left to drain), and the one
+                # pre-read case — a non-numeric Content-Length — leaves the
+                # body length unknowable, so a bounded drain could block on
+                # a still-open connection
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # device/runtime failure: server fault
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

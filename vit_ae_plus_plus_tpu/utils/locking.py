@@ -88,12 +88,18 @@ def acquire_workdir_lock(work_dir: str) -> None:
             "point this one at a different --work-dir. (The lock is a kernel "
             "flock: it vanishes with its process, so it is never stale.)"
         ) from None
-    payload = json.dumps(
-        {"pid": os.getpid(), "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    ).encode()
-    os.ftruncate(fd, 0)
-    os.pwrite(fd, payload, 0)
+    # record the hold FIRST: if the diagnostic write below failed after the
+    # flock was won (e.g. ENOSPC), an unrecorded fd would wedge this process
+    # out of its own lock for the rest of its lifetime
     _held[key] = [fd, 1]
+    try:
+        payload = json.dumps(
+            {"pid": os.getpid(), "started": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        ).encode()
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, payload, 0)
+    except OSError:
+        pass  # payload is purely diagnostic; the flock itself is the lock
 
 
 def release_workdir_lock(work_dir: str) -> None:
